@@ -1,0 +1,57 @@
+"""Crawl configuration (SEMANTICS.md §11) shared by the Spark pipeline and
+the pure-Python oracle crawler."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+START_TS_DEFAULT = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    w1: float = 1.0
+    w2: float = 0.5
+    decay: float = 0.5
+    default_delay: float = 5.0
+    round_seconds: float = 60.0
+    max_per_host: int = 20
+    max_round_urls: int = 10_000
+    max_depth: int = 6
+    agent: str = "lectura"
+    start_ts: datetime = START_TS_DEFAULT
+    n_shards: int = 32
+    seen_capacity: int = 1_000_000  # per-shard sizing input at build time
+    fpp: float = 1e-3
+    host_buckets: int = 32  # pages/frontier partition key fan-out
+    salt_buckets: int = 8  # mega-host salting fan-out (U6/F1)
+    use_bloom: bool = False  # exact anti-join path by default at test scale
+
+    def depth_base(self) -> dict[int, float]:
+        """w1 * decay**d precomputed in Python once, shipped to Spark as
+        literals so JVM and Python use bit-identical floats (SEMANTICS.md §3)."""
+        return {d: self.w1 * (self.decay ** d) for d in range(self.max_depth + 2)}
+
+    def round_ts(self, r: int) -> datetime:
+        from datetime import timedelta
+
+        return self.start_ts + timedelta(seconds=self.round_seconds * r)
+
+    def child_score(self, child_depth: int, parent_score: float) -> float:
+        return self.depth_base()[child_depth] + self.w2 * parent_score
+
+    def budget(self, delay: float | None, round_no: int,
+               last_fetched_round: int | None) -> int:
+        """Per-host politeness budget for this round (SEMANTICS.md §5)."""
+        d = self.default_delay if delay is None else max(float(delay), 0.0)
+        if d <= 0:
+            d = self.default_delay
+        if d <= self.round_seconds:
+            b = int(self.round_seconds // d)
+        else:
+            if last_fetched_round is None:
+                b = 1
+            else:
+                b = 1 if (round_no - last_fetched_round) * self.round_seconds >= d else 0
+        return min(b, self.max_per_host)

@@ -1,0 +1,172 @@
+"""RFC 3986 URL canonicalization + host-reverse sort key (SEMANTICS.md §1–2).
+
+Spec source: BASELINE.json north_star (B:6) — "URL canonicalization
+(RFC 3986 normalize + host-reverse sort key)". Pure functions; wrapped by
+vectorized pandas UDFs in lectura/urlnorm.py and called directly by the
+oracle crawler.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_SUB_DELIMS = set("!$&'()*+,;=")
+_HEX = set("0123456789abcdefABCDEF")
+# RFC 3986: pchar = unreserved / pct-encoded / sub-delims / ":" / "@"
+_PATH_ALLOWED = _UNRESERVED | _SUB_DELIMS | set(":@/")
+_QUERY_ALLOWED = _PATH_ALLOWED | set("?")
+
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def pct_normalize(s: str, allowed: set[str]) -> str:
+    """Percent-normalization per SEMANTICS.md §1.1.
+
+    - valid %XX: decode when octet is unreserved, else uppercase hex
+    - bare '%' (invalid escape): kept literally
+    - raw chars outside `allowed`: percent-encode their UTF-8 bytes
+    """
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 <= n - 1 and s[i + 1] in _HEX and s[i + 2] in _HEX:
+            octet = int(s[i + 1 : i + 3], 16)
+            ch = chr(octet)
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + s[i + 1 : i + 3].upper())
+            i += 3
+            continue
+        if c == "%":
+            out.append("%")  # invalid escape kept literally
+            i += 1
+            continue
+        if c in allowed:
+            out.append(c)
+        else:
+            for b in c.encode("utf-8"):
+                out.append(f"%{b:02X}")
+        i += 1
+    return "".join(out)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, implemented literally."""
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            if inp.startswith("/"):
+                j = inp.find("/", 1)
+            else:
+                j = inp.find("/")
+            if j == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:j])
+                inp = inp[j:]
+    return "".join(out)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Canonical form per SEMANTICS.md §1; None if not a crawlable http(s) URL."""
+    if not url:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if host.endswith("."):
+        host = host[:-1]
+    if not host:
+        return None
+    try:
+        port = parts.port  # raises ValueError on non-numeric
+    except ValueError:
+        return None
+    hostport = host
+    if port is not None and str(port) != _DEFAULT_PORT[scheme]:
+        hostport = f"{host}:{port}"
+    path = pct_normalize(parts.path, _PATH_ALLOWED)
+    path = remove_dot_segments(path)
+    if not path:
+        path = "/"
+    elif not path.startswith("/"):
+        path = "/" + path
+    query = pct_normalize(parts.query, _QUERY_ALLOWED)
+    if query:
+        return f"{scheme}://{hostport}{path}?{query}"
+    return f"{scheme}://{hostport}{path}"
+
+
+def host_of(canon_url: str) -> str:
+    """Host (incl. non-default port) of a canonical URL — cheap split, no reparse."""
+    rest = canon_url.split("://", 1)[1]
+    end = len(rest)
+    for sep in ("/", "?"):
+        j = rest.find(sep)
+        if j != -1 and j < end:
+            end = j
+    return rest[:end]
+
+
+def path_query_of(canon_url: str) -> str:
+    """path[?query] of a canonical URL (the robots match target, RFC 9309)."""
+    rest = canon_url.split("://", 1)[1]
+    j = rest.find("/")
+    q = rest.find("?")
+    if j == -1 and q == -1:
+        return "/"
+    if j == -1 or (q != -1 and q < j):
+        return "/" + rest[q:]
+    return rest[j:]
+
+
+def registered_host(canon_url: str) -> str:
+    """Hostname without port (robots + politeness are per hostname)."""
+    return host_of(canon_url).split(":", 1)[0]
+
+
+def host_reverse_key(canon_url: str) -> str:
+    """SURT-style locality key (SEMANTICS.md §2): com,example,www)/path?q."""
+    host = registered_host(canon_url)
+    return ",".join(reversed(host.split("."))) + ")" + path_query_of(canon_url)
+
+
+def resolve_url(base: str, ref: str) -> str | None:
+    """RFC 3986 §5 reference resolution + canonicalization."""
+    try:
+        return canonicalize_url(urljoin(base, ref))
+    except ValueError:
+        return None
