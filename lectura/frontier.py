@@ -1,0 +1,96 @@
+"""Frontier scheduling: dedupe, politeness budget, priority ranking,
+global deterministic cap (SURVEY.md §2.5; SEMANTICS.md §4–5).
+
+Ordering discipline (B:14 "identical crawl-frontier ordering"): every sort
+key ends with the canonical URL string — never a hash, salt, or partition
+id — so results are identical at any parallelism. Salting (F1) is applied
+as a *distribution* key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lectura.config import CrawlConfig
+from lectura.urlnorm import salt
+
+FRONTIER_COLS = ["url", "host", "hrk", "path_q", "depth", "score",
+                 "discovered_ts", "src_url"]
+
+
+def dedupe_frontier(df: DataFrame) -> DataFrame:
+    """Best row per canonical url: (score desc, depth asc, discovered_ts
+    asc, src_url asc-nulls-first) — deterministic reduce (SEMANTICS.md §4)."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("score"),
+        F.asc("depth"),
+        F.asc("discovered_ts"),
+        F.asc_nulls_first("src_url"),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_budget(cand: DataFrame, host_delay: DataFrame, host_state: DataFrame,
+                cfg: CrawlConfig, round_no: int) -> DataFrame:
+    """Join per-host delay (robots R4) + last-fetched round (F4) and compute
+    the politeness budget exactly as CrawlConfig.budget does in Python."""
+    j = (
+        cand.join(F.broadcast(host_delay), "host", "left")
+        .join(F.broadcast(host_state), "host", "left")
+    )
+    d = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))
+    d = F.when(d <= 0, F.lit(cfg.default_delay)).otherwise(d)
+    rs = F.lit(float(cfg.round_seconds))
+    fast = F.floor(rs / d).cast("int")
+    slow = F.when(
+        F.col("last_round").isNull()
+        | ((F.lit(round_no) - F.col("last_round")) * rs >= d),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    budget = F.when(d <= rs, fast).otherwise(slow)
+    return j.withColumn(
+        "budget", F.least(budget, F.lit(cfg.max_per_host))
+    ).drop("crawl_delay", "last_round")
+
+
+def rank_per_host(cand_budgeted: DataFrame, salt_buckets: int) -> DataFrame:
+    """F1+F2: two-phase salted per-host ranking.
+
+    Phase 1 ranks within (host, salt) — the salt spreads a mega-host over
+    `salt_buckets` tasks — and keeps only each bucket's top-`budget` rows
+    (the global per-host top-budget is a subset of the union of per-bucket
+    top-budgets). Phase 2 ranks the ≤ salt_buckets×budget survivors per
+    host. The salt never appears in an ORDER BY, so results are
+    parallelism-invariant (SEMANTICS.md §4).
+    """
+    order = [F.desc("score"), F.asc("depth"), F.asc("url")]
+    w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+    pruned = (
+        cand_budgeted.withColumn("_salt", salt("url", salt_buckets))
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= F.col("budget"))
+        .drop("_salt", "_lr")
+    )
+    w_host = Window.partitionBy("host").orderBy(*order)
+    return pruned.withColumn("host_rank", F.row_number().over(w_host))
+
+
+def schedule(cand_budgeted: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """F3+F5: keep rank ≤ budget, then global deterministic order + cap.
+    orderBy+limit plans as TakeOrderedAndProject (distributed top-k)."""
+    kept = cand_budgeted.filter(F.col("host_rank") <= F.col("budget"))
+    return (
+        kept.orderBy(F.desc("score"), F.asc("hrk"), F.asc("url"))
+        .limit(cfg.max_round_urls)
+        .withColumn(
+            "sched_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("hrk"), F.asc("url"))
+            ),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Warehouse abstraction: Iceberg-style snapshot tables (SURVEY.md §0.1
+design consequence; B:14 "Iceberg tables … resumable from checkpoint").
+
+Two backends share one API:
+
+- ``iceberg`` (real cluster): ``spark.read.format("iceberg")`` /
+  ``df.writeTo(tbl).append()`` with snapshot-id time travel. Requires
+  ``--packages org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:<ver>`` +
+  catalog confs at spark-submit time. NOT runnable in this sandbox (no jar,
+  no network — SURVEY.md §0.1), so it is declared, documented, and raises
+  if selected locally.
+- ``parquet-manifest`` (local, default): each table is a directory of
+  immutable parquet files plus numbered snapshot manifests
+  (``snap-000042.json`` = full file list) and a ``HEAD`` pointer updated
+  with an atomic ``os.replace``. Appends never rewrite data files, commits
+  are all-or-nothing, and any historical snapshot remains readable —
+  the Iceberg semantics the crawl's checkpoint/resume (S9/ST8) needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    def __init__(self, root: str, spark: SparkSession, backend: str = "parquet-manifest"):
+        if backend == "iceberg":
+            raise NotImplementedError(
+                "iceberg backend requires iceberg-spark-runtime on the cluster "
+                "classpath (absent in this sandbox — SURVEY.md §0.1); use "
+                "backend='parquet-manifest' locally"
+            )
+        if backend != "parquet-manifest":
+            raise ValueError(f"unknown backend {backend!r}")
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # -- internals ---------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _head(self, name: str) -> int | None:
+        p = os.path.join(self._tdir(name), "HEAD")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _snap_path(self, name: str, snap: int) -> str:
+        return os.path.join(self._tdir(name), f"snap-{snap:06d}.json")
+
+    def _files(self, name: str, snap: int | None = None) -> list[str]:
+        if snap is None:
+            snap = self._head(name)
+        if snap is None:
+            return []
+        with open(self._snap_path(name, snap)) as f:
+            return json.load(f)["files"]
+
+    def _commit(self, name: str, files: list[str]) -> int:
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        head = self._head(name)
+        snap = 0 if head is None else head + 1
+        tmp = os.path.join(tdir, f".snap-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": snap, "files": sorted(files)}, f)
+        os.replace(tmp, self._snap_path(name, snap))
+        tmp_head = os.path.join(tdir, f".HEAD-{uuid.uuid4().hex}.tmp")
+        with open(tmp_head, "w") as f:
+            f.write(str(snap))
+        os.replace(tmp_head, os.path.join(tdir, "HEAD"))
+        return snap
+
+    def _write_files(self, name: str, df: DataFrame) -> list[str]:
+        """Materialize df as immutable parquet files; return their paths."""
+        staging = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(staging)
+        return [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+
+    # -- API ----------------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return self._head(name) is not None
+
+    def snapshot(self, name: str) -> int | None:
+        return self._head(name)
+
+    def append(self, name: str, df: DataFrame) -> int:
+        """Atomic append: new snapshot = previous files + new files."""
+        files = self._files(name) + self._write_files(name, df)
+        return self._commit(name, files)
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        """Atomic replace: new snapshot = new files only (old data files
+        stay on disk so prior snapshots remain readable — Iceberg-style)."""
+        return self._commit(name, self._write_files(name, df))
+
+    def read(self, name: str, snapshot: int | None = None) -> DataFrame:
+        """Read a snapshot (default HEAD) — ``VERSION AS OF`` equivalent."""
+        files = self._files(name, snapshot)
+        if not files:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        return self.spark.read.parquet(*files)
+
+    def rollback(self, name: str, snapshot: int) -> None:
+        """Point HEAD back at an older snapshot (resume-after-crash path)."""
+        if not os.path.exists(self._snap_path(name, snapshot)):
+            raise FileNotFoundError(f"{name}: no snapshot {snapshot}")
+        tdir = self._tdir(name)
+        tmp = os.path.join(tdir, f".HEAD-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot))
+        os.replace(tmp, os.path.join(tdir, "HEAD"))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)

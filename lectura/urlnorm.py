@@ -1,0 +1,83 @@
+"""Spark-side URL operators (SURVEY.md §2.2, U1–U6).
+
+Canonicalization and the host-reverse key wrap the pure spec functions in
+Arrow-batched pandas UDFs (one fused pass returning a struct, so each URL
+crosses the JVM↔Python boundary once). Hash/bucket/salt keys are native
+JVM expressions (`xxhash64`, `pmod`) — no Python in those hot paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lectura.pure.urlnorm import (
+    canonicalize_url,
+    host_reverse_key,
+    path_query_of,
+    registered_host,
+)
+
+_URL_STRUCT = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("hrk", T.StringType()),
+        T.StructField("path_q", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_URL_STRUCT)
+def url_norm_struct(urls: pd.Series) -> pd.DataFrame:
+    """One Arrow pass: raw url -> (canonical url, host, host_reverse_key,
+    path?query). Nulls propagate for uncrawlable URLs."""
+    canon = urls.map(canonicalize_url, na_action="ignore")
+    mask = canon.notna()
+    host = pd.Series(None, index=urls.index, dtype=object)
+    hrk = pd.Series(None, index=urls.index, dtype=object)
+    pq = pd.Series(None, index=urls.index, dtype=object)
+    host[mask] = canon[mask].map(registered_host)
+    hrk[mask] = canon[mask].map(host_reverse_key)
+    pq[mask] = canon[mask].map(path_query_of)
+    return pd.DataFrame({"url": canon, "host": host, "hrk": hrk, "path_q": pq})
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def host_reverse_key_udf(canon_urls: pd.Series) -> pd.Series:
+    return canon_urls.map(host_reverse_key, na_action="ignore")
+
+
+def url_key(url: Column | str) -> Column:
+    """Stable 64-bit key of the canonical URL (U4) — JVM-side xxhash64."""
+    return F.xxhash64(url)
+
+
+def host_bucket(host: Column | str, buckets: int) -> Column:
+    """Partition key for pages/frontier tables (U5)."""
+    return F.pmod(F.xxhash64(host), F.lit(buckets)).cast("int")
+
+
+def salt(url: Column | str, buckets: int) -> Column:
+    """Mega-host salting key (U6): distributes one host's URLs over
+    `buckets` tasks. A distribution key only — never a grouping key."""
+    return F.pmod(F.xxhash64(url), F.lit(buckets)).cast("int")
+
+
+def with_url_norm(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Replace `url_col` with its canonical form and add host/hrk/path_q,
+    dropping uncrawlable rows."""
+    return (
+        df.withColumn("_n", url_norm_struct(F.col(url_col)))
+        .drop(url_col)
+        .select("*", "_n.*")
+        .drop("_n")
+        .filter(F.col("url").isNotNull())
+    )
