@@ -1,0 +1,114 @@
+"""End-to-end Spark-pipeline ≡ oracle-crawler equivalence (the B:14
+criterion), bloom-mode equivalence, golden pin, and kill/resume (ST8)."""
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lectura.config import CrawlConfig
+from lectura.crawl import Crawler
+from lectura.oracle import run_oracle
+from lectura.tables import Warehouse
+from tests.conftest import corpus_dfs
+
+ROUNDS = 3
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "oracle_3rounds.json")
+
+
+def run_spark_crawl(spark, corpus, cfg, root, rounds=ROUNDS):
+    wh = Warehouse(root, spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(rounds)
+    return crawler
+
+
+def assert_equivalent(crawler, oracle, check_seen_exact=True):
+    for rnd in range(1, ROUNDS + 1):
+        got = [
+            (r.url, r.host, r.depth, r.score)
+            for r in crawler.scheduled_df(rnd).collect()
+        ]
+        want = [
+            (r["url"], r["host"], r["depth"], r["score"])
+            for r in oracle.scheduled[rnd - 1]
+        ]
+        assert got == want, f"round {rnd} ordering diverged"
+    texts = {r.url: r.text for r in crawler.wh.read("text").collect()}
+    assert texts == oracle.text  # byte-identical extracted text (B:15)
+    seen = {r.url for r in crawler.wh.read("seen").collect()}
+    if check_seen_exact:
+        assert seen == oracle.seen
+    else:  # bloom mode may only LOSE urls (false positives), never add
+        assert seen <= oracle.seen
+        assert len(oracle.seen - seen) <= max(2, int(0.01 * len(oracle.seen)))
+    ff = sorted(
+        (r.url, r.depth, r.score)
+        for r in crawler.wh.read("frontier")
+        .filter(F.col("for_round") == ROUNDS + 1).collect()
+    )
+    fo = sorted((r["url"], r["depth"], r["score"]) for r in oracle.frontier_final)
+    if check_seen_exact:
+        assert ff == fo
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus, cfg):
+    return run_oracle(corpus, cfg, ROUNDS)
+
+
+def test_exact_mode_equivalence(spark, corpus, cfg, oracle, tmp_path):
+    crawler = run_spark_crawl(spark, corpus, cfg, str(tmp_path / "wh"))
+    assert_equivalent(crawler, oracle)
+
+
+def test_bloom_mode_equivalence(spark, corpus, oracle, tmp_path):
+    cfg = CrawlConfig(max_round_urls=200, use_bloom=True)
+    crawler = run_spark_crawl(spark, corpus, cfg, str(tmp_path / "whb"))
+    assert_equivalent(crawler, oracle, check_seen_exact=False)
+
+
+def test_oracle_matches_frozen_golden(oracle):
+    """Guards against silent spec drift: today's oracle == frozen dump."""
+    with open(GOLDEN) as f:
+        g = json.load(f)
+    assert [len(s) for s in g["scheduled"]] == [len(s) for s in oracle.scheduled]
+    for rnd, (gs, os_) in enumerate(zip(g["scheduled"], oracle.scheduled), 1):
+        assert [r["url"] for r in gs] == [r["url"] for r in os_], rnd
+    assert g["seen"] == sorted(oracle.seen)
+    got_hash = {
+        u: hashlib.sha256(t.encode()).hexdigest() for u, t in oracle.text.items()
+    }
+    assert g["text_sha256"] == got_hash
+
+
+def test_kill_resume_identical(spark, corpus, cfg, oracle, tmp_path):
+    """Run 2 rounds, simulate a crashed round 3 (uncommitted writes),
+    resume → state identical to the uninterrupted oracle run (ST8)."""
+    root = str(tmp_path / "whr")
+    wh = Warehouse(root, spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(2)
+    # crash mid-round-3: garbage appended to tables but round never committed
+    garbage = spark.createDataFrame(
+        [("http://garbage.example/x", 99)], "url string, round int"
+    )
+    wh.append("seen", garbage)
+    wh.append(
+        "text",
+        spark.createDataFrame(
+            [(99, "http://garbage.example/x", "JUNK")],
+            "round int, url string, text string",
+        ),
+    )
+    crawler2 = Crawler(spark, wh, cfg)
+    crawler2.run(ROUNDS, resume=True)  # restores snapshots, reruns round 3
+    assert_equivalent(crawler2, oracle)
+    seen = {r.url for r in wh.read("seen").collect()}
+    assert "http://garbage.example/x" not in seen

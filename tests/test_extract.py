@@ -1,0 +1,104 @@
+"""X1/X2 extraction tests incl. sha256-pinned goldens (SEMANTICS.md §9)."""
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from lectura.pure.extract import extract_links, extract_text
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+HTML = b"""<!DOCTYPE html><html><head><title>T &amp; t</title>
+<style>a { color: red } /* <a href="http://style.example/">s</a> */</style>
+<script type="text/javascript">var a='<a href="http://script.example/">';
+</script></head><body>
+<!-- comment <a href='http://comment.example/'>c</a> -->
+<A HREF="/rel/path">rel</A>
+<a class=x href='HTTP://UP.EXAMPLE:80/a/../b#frag'>up</a>
+<a href=bare.html>bare</a>
+<a href="mailto:x@y.example">mail</a>
+<a href="javascript:void(0)">js</a>
+<a href="#top">frag-only</a>
+<a href="/rel/path">dup</a>
+<a href="?q=2">query-only</a>
+<a href="https://other.example/x?a=1&amp;b=2">entity</a>
+<p>Hello&nbsp;&lt;world&gt;   spaced</p></body></html>"""
+
+BASE = "http://base.example/dir/page"
+
+
+def test_text_spec():
+    t = extract_text(HTML)
+    assert "script" not in t and "style" not in t and "comment" not in t
+    assert "T & t" in t
+    # &nbsp; → \xa0, which str.split() treats as whitespace → single space
+    assert "Hello <world> spaced" in t
+    assert "  " not in t  # whitespace normalized
+
+
+def test_links_spec():
+    links = extract_links(HTML, BASE)
+    assert links == [
+        "http://base.example/rel/path",
+        "http://up.example/b",
+        "http://base.example/dir/bare.html",
+        "http://base.example/dir/page?q=2",
+        "https://other.example/x?a=1&b=2",
+    ]
+
+
+def test_links_skip_self():
+    assert extract_links(b'<a href="/dir/page">self</a>', BASE) == []
+
+
+def test_invalid_utf8_replaced():
+    t = extract_text(b"<p>ok\xff\xfe</p>")
+    assert t.startswith("ok")
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    path = os.path.join(GOLDEN_DIR, "extract_goldens.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_goldens_frozen(goldens):
+    """The byte-exactness contract (B:15): outputs must match the frozen
+    sha256 for every golden page. If this fails you changed the extraction
+    spec — see SEMANTICS.md header before 'fixing' it."""
+    for g in goldens:
+        html = g["html"].encode("utf-8")
+        text = extract_text(html)
+        links = extract_links(html, g["base_url"])
+        assert hashlib.sha256(text.encode()).hexdigest() == g["text_sha256"], g["name"]
+        assert links == g["links"], g["name"]
+
+
+def test_spark_extraction_matches_pure(spark, corpus):
+    """X2/X1 through the fused Arrow pass == pure functions, byte-exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lectura.extract import extract_pages
+
+    uniq = {}
+    for r in corpus["pages"]:
+        uniq.setdefault(r["url"], r)
+        if len(uniq) >= 100:
+            break
+    rows = list(uniq.values())
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    ).withColumn("depth", F.lit(0)).withColumn("score", F.lit(1.0))
+    got = {
+        r.url: (r.text, tuple(r.links))
+        for r in extract_pages(df).collect()
+    }
+    for row in rows:
+        text, links = got[row["url"]]
+        assert text == extract_text(row["html"])
+        assert text == row["text"]  # synth stores the golden by construction
+        assert list(links) == extract_links(row["html"], row["url"])
