@@ -1,0 +1,751 @@
+"""Driver-contract query registry (SURVEY.md §3.2; E:21–45).
+
+One entry per SQL/SQL≈ operator row of SURVEY.md §2 plus the
+training-data-pipeline operators (dedupe / similarity / text analysis /
+multimodal plumbing) over the fixture tables. Each Spark callable takes
+(spark, sf_dir) and must hash-match its DuckDB oracle SQL at sf0.01:
+same column names (aliased identically on both sides), doubles rounded to
+fixed decimals so IEEE summation-order differences between engines can't
+flip the value hash, timestamps emitted as formatted strings.
+
+Non-SQL-expressible operators register with sql=None → the driver records
+a rows-only check and the real verification lives in tests/ (e.g. the
+crawl itself is verified against tests/oracle_crawler.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S10 / U7 — scan + filter + project (pushdown-friendly: filter and
+# projection reach the parquet scan)
+# ---------------------------------------------------------------------------
+@q(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def scan_filter_project(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+# U7 — string functions
+@q(
+    "string_fns",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           length(p_name) AS name_len,
+           substring(p_type, 1, 5) AS type5,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+    FROM part
+    """,
+)
+def string_fns(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    )
+
+
+# U8 — date/time functions
+@q(
+    "date_fns",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_price
+    FROM orders GROUP BY 1
+    """,
+)
+def date_fns(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_price"),
+        )
+    )
+
+
+# U9 — math functions
+@q(
+    "math_fns",
+    """
+    SELECT p_partkey,
+           round(ln(p_retailprice), 6) AS log_price,
+           round(sqrt(p_retailprice), 6) AS sqrt_price,
+           round(pow(1.05, p_size), 6) AS growth,
+           greatest(p_size, 25) AS size_floor,
+           least(p_size, 25) AS size_cap
+    FROM part WHERE p_retailprice > 0
+    """,
+)
+def math_fns(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return p.select(
+        "p_partkey",
+        F.round(F.log("p_retailprice"), 6).alias("log_price"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.lit(1.05), F.col("p_size")), 6).alias("growth"),
+        F.greatest("p_size", F.lit(25)).alias("size_floor"),
+        F.least("p_size", F.lit(25)).alias("size_cap"),
+    )
+
+
+# U10 / X7 — array explode + re-aggregate
+@q(
+    "array_explode",
+    """
+    SELECT label, count(*) AS n_elems,
+           round(avg(e), 4) AS avg_elem,
+           round(max(e), 4) AS max_elem
+    FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
+    GROUP BY label
+    """,
+)
+def array_explode(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.explode("embedding").alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            F.round(F.avg("e"), 4).alias("avg_elem"),
+            F.round(F.max("e"), 4).alias("max_elem"),
+        )
+    )
+
+
+# U12 — JSON functions
+@q(
+    "json_fns",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_fns(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# U13 — binary functions (byte-exactness primitives used by B:15 checks)
+@q(
+    "binary_fns",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+)
+def binary_fns(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+# D4 — distinct
+@q(
+    "distinct_d4",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_d4(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# D5 / F8 — anti join
+@q(
+    "anti_join_d5",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+    """,
+)
+def anti_join_d5(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# F8 — semi join
+@q(
+    "semi_join_f8",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    """,
+)
+def semi_join_f8(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# F2 — window-ranked priority queue (per-group rank with full tie-breaks)
+@q(
+    "window_rank_f2",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderdate ASC,
+                                         o_orderkey ASC) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def window_rank_f2(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# F3 — per-group top-k with per-group budget
+@q(
+    "budget_topk_f3",
+    """
+    SELECT o_custkey, o_orderkey, rnk, budget FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+             o_custkey % 3 + 1 AS budget
+      FROM orders) WHERE rnk <= budget
+    """,
+)
+def budget_topk_f3(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .withColumn("budget", F.col("o_custkey") % 3 + 1)
+        .filter(F.col("rnk") <= F.col("budget"))
+        .select("o_custkey", "o_orderkey", "rnk", "budget")
+    )
+
+
+# F4 — lag window (host-delay gate analog)
+@q(
+    "lag_gap_f4",
+    """
+    SELECT o_custkey, o_orderkey, gap_days FROM (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders) WHERE gap_days > 60
+    """,
+)
+def lag_gap_f4(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+        )
+        .filter(F.col("gap_days") > 60)
+        .select("o_custkey", "o_orderkey", "gap_days")
+    )
+
+
+# F5 — global deterministic top-k (TakeOrderedAndProject)
+@q(
+    "global_topk_f5",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
+    """,
+)
+def global_topk_f5(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
+
+
+# F6 — multi-way equi join + aggregate (broadcast dims)
+@q(
+    "join_agg_f6",
+    """
+    SELECT c_mktsegment, n_name,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment, n_name
+    """,
+)
+def join_agg_f6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# F7 — as-of join (latest capture ≤ cutoff)
+@q(
+    "asof_f7",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-30 00:00:00'
+    ) WHERE rn = 1
+    """,
+)
+def asof_f7(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= F.lit("1997-06-30 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("asof_date"),
+        )
+    )
+
+
+# F9 — range/interval predicate join (politeness window analog)
+@q(
+    "range_join_f9",
+    """
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def range_join_f9(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# F10 — union + dedupe
+@q(
+    "union_f10",
+    """
+    SELECT DISTINCT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+)
+def union_f10(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b).distinct()
+
+
+# F11 — except / intersect
+@q(
+    "setops_f11",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+    """,
+)
+def setops_f11(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    b = o.filter(F.col("o_totalprice") < 50000).select("o_orderkey")
+    return a.exceptAll(b).distinct()
+
+
+# F12 — broadcast nested-loop theta join (pattern denylist analog)
+@q(
+    "theta_join_f12",
+    """
+    SELECT pat, count(*) AS n_parts
+    FROM part, (VALUES ('%widget%'), ('%bolt%'), ('PROMO%')) pats(pat)
+    WHERE p_type LIKE pat OR p_name LIKE pat
+    GROUP BY pat
+    """,
+)
+def theta_join_f12(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    pats = spark.createDataFrame(
+        [("%widget%",), ("%bolt%",), ("PROMO%",)], "pat string"
+    )
+    return (
+        p.join(
+            F.broadcast(pats),
+            F.expr("p_type LIKE pat OR p_name LIKE pat"),
+        )
+        .groupBy("pat")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# A1 — hash aggregate, partial+final (TPC-H Q1 shape)
+@q(
+    "hash_agg_a1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def hash_agg_a1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# A2 — distinct aggregate
+@q(
+    "distinct_agg_a2",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg_a2(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+    )
+
+
+# A3 — rollup (metrics reporting shape)
+@q(
+    "rollup_a3",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_a3(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# A4 — top-k per group (skew report analog)
+@q(
+    "topk_group_a4",
+    """
+    SELECT n_name, s_suppkey, s_acctbal FROM (
+      SELECT n_name, s_suppkey, s_acctbal,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ) WHERE rn <= 2
+    """,
+)
+def topk_group_a4(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("n_name", "s_suppkey", "s_acctbal")
+    )
+
+
+# A5 — exact percentiles (latency/size distribution analog)
+@q(
+    "percentiles_a5",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+           round(quantile_cont(l_quantity, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_a5(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_quantity, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+# ST2 — tumbling-window metrics (batch equivalent of the streaming agg)
+@q(
+    "tumbling_st2",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_st2(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ST3 — sliding-window rates (each event lands in size/slide windows)
+@q(
+    "sliding_st3",
+    """
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n
+    FROM (
+      -- an event at ts lands in the size/slide=2 windows starting at
+      -- floor(epoch/1800)*1800 and 1800 earlier (Spark windows align to epoch)
+      SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800 AS ws
+      FROM events, (VALUES (0), (1)) ks(k)
+    ) GROUP BY 1
+    """,
+)
+def sliding_st3(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+
+
+# ST4 — session windows (batch equivalent: gaps-and-islands in SQL)
+@q(
+    "session_st4",
+    """
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events)
+    ) GROUP BY user_id, session_id
+    """,
+)
+def session_st4(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# R3 — longest-prefix rule resolution (robots semantics over fixtures)
+@q(
+    "prefix_rules_r3",
+    """
+    WITH rules(prefix, verdict) AS (
+      VALUES ('Customer#00000000', 'allow'), ('Customer#0000000', 'deny'),
+             ('Customer#000000', 'allow'), ('Customer#00000', 'deny')
+    ), matched AS (
+      SELECT c_custkey, prefix, verdict,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY length(prefix) DESC,
+                                         verdict ASC) AS rn
+      FROM customer JOIN rules ON starts_with(c_name, prefix)
+    )
+    SELECT c_custkey, prefix AS winner, verdict FROM matched WHERE rn = 1
+    """,
+)
+def prefix_rules_r3(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    rules = spark.createDataFrame(
+        [
+            ("Customer#00000000", "allow"),
+            ("Customer#0000000", "deny"),
+            ("Customer#000000", "allow"),
+            ("Customer#00000", "deny"),
+        ],
+        "prefix string, verdict string",
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc(F.length("prefix")), F.asc("verdict")
+    )
+    return (
+        c.join(F.broadcast(rules), F.col("c_name").startswith(F.col("prefix")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("prefix").alias("winner"), "verdict")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
