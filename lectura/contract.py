@@ -749,3 +749,494 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+# ===========================================================================
+# Training-data-pipeline operators (dedup / similarity / text analysis /
+# multimodal plumbing) — first-class alongside the §2 inventory.
+# ===========================================================================
+
+# Exact dedup: content-hash grouping (the 100-TB-safe exact pass)
+@q(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS text_sha, count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# Near-dup by word-trigram Jaccard via inverted shingle index (no cross join)
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in generate_series(1, greatest(len(w)-2, 1))]) AS s
+      FROM words
+    ), sh2 AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT d1, d2, inter,
+           round(inter / (s1.n + s2.n - inter), 4) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from lectura.textops import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(docs, n=3, min_inter=2)
+
+
+# MinHash+LSH near-dup (banded signatures; hash engine-specific → rows-only,
+# parity + recall proven in tests/test_textops.py against the pure oracle)
+@q("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf_dir):
+    from lectura.textops import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return minhash_lsh_pairs(docs, k=32, bands=8, min_est_jaccard=0.4)
+
+
+# SimHash near-dup (rows-only; pytest-verified vs pure simhash)
+@q("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    from lectura.textops import simhash_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return simhash_pairs(docs, max_hamming=8)
+
+
+# Embedding-cosine near-dup pairs (bounded all-pairs baseline)
+@q(
+    "dedup_cosine_pairs",
+    """
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id < 150 AND b.vec_id < 150
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+    """,
+)
+def dedup_cosine_pairs(spark, sf_dir):
+    from lectura.vectorops import cosine_pairs
+
+    return cosine_pairs(t(spark, sf_dir, "embeddings"), 0.35, max_id=150)
+
+
+# Brute-force cosine top-k (ANN exactness baseline)
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding, qe), 4) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    from lectura.vectorops import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, list(qvec), k=10)
+
+
+# LSH-bucketed ANN (scale path; rows-only — recall vs brute force in pytest)
+@q("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf_dir):
+    from lectura.vectorops import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb, list(qvec), k=10, n_planes=8)
+
+
+# Text quality scoring (length / stopword / vocabulary-diversity signals)
+@q(
+    "text_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS words,
+             len(regexp_extract_all(text,
+                 '\\b(the|and|of|to|a|in|is|for|on|with)\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, len(words) AS n_words,
+           round(CAST(list_aggregate(list_transform(words, x -> length(x)),
+                                     'sum') AS DOUBLE) / len(words), 4)
+             AS avg_word_len,
+           round(CAST(n_stop AS DOUBLE) / len(words), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+             AS distinct_ratio
+    FROM w WHERE len(words) > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    from lectura.textops import _STOP_RX, words
+
+    docs = t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        w.alias("words"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, '"
+                + _STOP_RX.replace("\\", "\\\\")
+                + "', 0)"
+            )
+        ).alias("n_stop"),
+    ).filter(F.size("words") > 0)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size("words").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform("words", lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("words"),
+            4,
+        ).alias("avg_word_len"),
+        F.round(F.col("n_stop").cast("double") / F.size("words"), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.size(F.array_distinct("words")).cast("double") / F.size("words"), 4
+        ).alias("distinct_ratio"),
+    )
+
+
+# Vocabulary-affinity classification (language-ID heuristic shape: n-gram/
+# keyword scores + argmax)
+@q(
+    "lang_affinity",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '\\b(select|join|filter|group|window|sort|merge|scan|query)\\b'))
+               AS sql_score,
+             len(regexp_extract_all(text,
+                 '\\b(data|row|table|batch|stream|value|key|line)\\b'))
+               AS data_score,
+             len(regexp_extract_all(text,
+                 '\\b(fast|slow|small|large|cold|hot)\\b')) AS size_score
+      FROM documents
+    )
+    SELECT doc_id, sql_score, data_score, size_score,
+           CASE WHEN sql_score >= data_score AND sql_score >= size_score
+                THEN 'sql'
+                WHEN data_score >= size_score THEN 'data'
+                ELSE 'size' END AS affinity
+    FROM s
+    """,
+)
+def lang_affinity(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    def score(rx):
+        return F.size(F.expr(f"regexp_extract_all(text, '{rx}', 0)"))
+
+    s = docs.select(
+        "doc_id",
+        score(r"\\b(select|join|filter|group|window|sort|merge|scan|query)\\b")
+        .alias("sql_score"),
+        score(r"\\b(data|row|table|batch|stream|value|key|line)\\b")
+        .alias("data_score"),
+        score(r"\\b(fast|slow|small|large|cold|hot)\\b").alias("size_score"),
+    )
+    return s.withColumn(
+        "affinity",
+        F.when(
+            (F.col("sql_score") >= F.col("data_score"))
+            & (F.col("sql_score") >= F.col("size_score")),
+            F.lit("sql"),
+        )
+        .when(F.col("data_score") >= F.col("size_score"), F.lit("data"))
+        .otherwise(F.lit("size")),
+    )
+
+
+# Token counting (whitespace + BPE-ish regex tokenizer)
+@q(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS n_re_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("n_re_tokens"),
+    )
+
+
+# Rolling-hash fingerprint (order-sensitive; engine-neutral pure fn →
+# rows-only here, exact parity vs pure python in tests/test_textops.py)
+@q("fingerprint_rolling", None)
+def fingerprint_rolling(spark, sf_dir):
+    from lectura.textops import rolling_fingerprint_udf
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_fingerprint_udf("text").alias("fp")
+    )
+
+
+# Multimodal plumbing: opaque binary payload + typed metadata; "decode" is
+# a deterministic stub (real image/audio libs absent in this container) but
+# the Spark-side schema/batching/UDF plumbing is real and SQL-checked.
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha,
+           1 + octet_length(encode(text)) % 640 AS fake_width,
+           1 + (octet_length(encode(text)) * 7) % 480 AS fake_height,
+           1 + octet_length(encode(text)) % 16 AS fake_n_frames
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    import hashlib
+    import pandas as pd
+
+    def decode_stub(batches):
+        # stands in for image/audio decode: bytes -> typed metadata.
+        for pdf in batches:
+            blobs = [x.encode("utf-8") for x in pdf["text"]]
+            n = [len(b) for b in blobs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "payload_sha": [hashlib.sha256(b).hexdigest() for b in blobs],
+                    "fake_width": [1 + x % 640 for x in n],
+                    "fake_height": [1 + (x * 7) % 480 for x in n],
+                    "fake_n_frames": [1 + x % 16 for x in n],
+                }
+            )
+
+    return t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        decode_stub,
+        "doc_id long, n_bytes long, payload_sha string, fake_width long, "
+        "fake_height long, fake_n_frames long",
+    )
+
+
+# Multimodal frame sampling over array payloads (every-2nd-frame averages)
+@q(
+    "frame_sample",
+    """
+    SELECT vec_id, unnest(generate_series(0, 6, 2)) AS frame_no,
+           unnest([round(list_aggregate(embedding[f*8+1:f*8+8], 'sum') / 8, 4)
+                   for f in generate_series(0, 6, 2)]) AS frame_avg
+    FROM embeddings
+    """,
+)
+def frame_sample(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    frames = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(6), F.lit(2)),
+            lambda f: F.struct(
+                f.alias("frame_no"),
+                F.round(
+                    F.aggregate(
+                        F.slice("embedding", f * 8 + 1, 8),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"),
+                    )
+                    / 8,
+                    4,
+                ).alias("frame_avg"),
+            ),
+        )
+    )
+    return emb.select("vec_id", frames.alias("fr")).select(
+        "vec_id", F.col("fr.frame_no").alias("frame_no"),
+        F.col("fr.frame_avg").alias("frame_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-domain operators over fixtures (U1–U5 shapes; engine-hash ops and
+# the crawl itself are rows-only — their real check is the pure oracle)
+# ---------------------------------------------------------------------------
+
+# U1 canonicalization: the REAL pandas-UDF canonicalizer vs a DuckDB
+# expression that constructs the expected canonical form for a
+# parameterized family of messy URLs (case, default port, dot-segments,
+# fragments, query preservation)
+@q(
+    "canonicalize_u1",
+    """
+    SELECT concat('HTTP://Host', c_custkey % 37, '.EXAMPLE:80/a/../p/',
+                  c_custkey, '?q=', c_nationkey, '#frag') AS raw_url,
+           concat('http://host', c_custkey % 37, '.example/p/',
+                  c_custkey, '?q=', c_nationkey) AS url
+    FROM customer
+    """,
+)
+def canonicalize_u1(spark, sf_dir):
+    from lectura.urlnorm import canonicalize_udf
+
+    c = t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("HTTP://Host"), (F.col("c_custkey") % 37).cast("string"),
+        F.lit(".EXAMPLE:80/a/../p/"), F.col("c_custkey").cast("string"),
+        F.lit("?q="), F.col("c_nationkey").cast("string"), F.lit("#frag"),
+    )
+    return c.select(raw.alias("raw_url")).withColumn(
+        "url", canonicalize_udf("raw_url")
+    )
+
+
+# U3 host-reverse sort key (native expression form)
+@q(
+    "host_reverse_u3",
+    """
+    SELECT host,
+           array_to_string(list_reverse(string_split(host, '.')), ',') AS hrk
+    FROM (SELECT concat('www.host', c_custkey % 37, '.example.com') AS host
+          FROM customer)
+    """,
+)
+def host_reverse_u3(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    host = F.concat(
+        F.lit("www.host"), (F.col("c_custkey") % 37).cast("string"),
+        F.lit(".example.com"),
+    )
+    return c.select(host.alias("host")).withColumn(
+        "hrk", F.concat_ws(",", F.reverse(F.split("host", r"\.")))
+    )
+
+
+# U2 URL part extraction (parse_url native fn vs regex oracle)
+@q(
+    "url_parts_u2",
+    """
+    SELECT url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query
+    FROM (SELECT concat('http://host', o_custkey % 37, '.example/p/',
+                        o_orderkey, '?q=', o_custkey) AS url FROM orders)
+    """,
+)
+def url_parts_u2(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("http://host"), (F.col("o_custkey") % 37).cast("string"),
+        F.lit(".example/p/"), F.col("o_orderkey").cast("string"),
+        F.lit("?q="), F.col("o_custkey").cast("string"),
+    )
+    return o.select(url.alias("url")).select(
+        "url",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+    )
+
+
+# U5/U6 — host_bucket + salt distribution (xxhash64 is engine-specific →
+# rows-only; structural invariants asserted in tests/test_operators.py)
+@q("host_bucket_u5", None)
+def host_bucket_u5(spark, sf_dir):
+    from lectura.urlnorm import host_bucket, salt
+
+    c = t(spark, sf_dir, "customer")
+    host = F.concat(F.lit("host"), (F.col("c_custkey") % 37).cast("string"),
+                    F.lit(".example"))
+    return (
+        c.select(host.alias("host"))
+        .withColumn("bucket", host_bucket("host", 32))
+        .withColumn("salt", salt("host", 8))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.countDistinct("host").alias("n_hosts"))
+    )
+
+
+# D6 — approx_count_distinct (HLL implementations differ per engine →
+# rows-only; exactness band asserted in tests)
+@q("approx_distinct_d6", None)
+def approx_distinct_d6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# D1–D3 — partitioned bloom build stats (bits are engine-internal →
+# rows-only; FPP/no-false-negative invariants in tests/test_bloom.py)
+@q("bloom_seen_d1", None)
+def bloom_seen_d1(spark, sf_dir):
+    from lectura.seen import bloom_build
+
+    urls = t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("http://host"), (F.col("o_custkey") % 37).cast("string"),
+                 F.lit(".example/o/"), F.col("o_orderkey").cast("string"))
+        .alias("url")
+    )
+    return bloom_build(urls, 16, 100_000, 1e-3).select(
+        "shard_id", "n_inserted", "m_bits", "k"
+    )
+
+
+# A6 — per-partition lineage (partition ids are runtime artifacts →
+# rows-only; determinism of the rollup checked in tests)
+@q("lineage_a6", None)
+def lineage_a6(spark, sf_dir):
+    from lectura.metrics import partition_lineage
+
+    urls = t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("http://host"), (F.col("c_custkey") % 37).cast("string"),
+                 F.lit(".example/c/"), F.col("c_custkey").cast("string"))
+        .alias("url")
+    ).repartition(8, "url")
+    lin = partition_lineage(urls)
+    return lin.select(
+        F.sum("input_rows").alias("total_rows"),
+        F.count("*").alias("n_parts"),
+        F.min("min_url_key").alias("global_min_key"),
+        F.max("max_url_key").alias("global_max_key"),
+    )
+
+
+# The flagship itself as a rows-only contract query: 2-round mini-crawl
+# (full pipeline; equality vs the pure oracle is proven in tests/test_e2e.py)
+@q("crawl_flagship", None)
+def crawl_flagship(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return e.entry(spark)

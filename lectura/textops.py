@@ -1,0 +1,188 @@
+"""Text-analysis + deduplication operators for training-data pipelines
+over the `documents` table: exact dedupe, n-gram Jaccard near-dup,
+MinHash+LSH, SimHash, quality scoring, vocab-affinity language ID, token
+counting, rolling fingerprints.
+
+Scale notes: everything except the fingerprint UDF is pure JVM
+(split/explode/hash-agg — partial aggregation + AQE handle the shuffles);
+MinHash signatures are computed as 1 explode + 1 groupBy with K min()
+aggregates (one shuffle, no K-fold data blowup); LSH banding turns the
+quadratic pair search into equi-joins on (band, bucket)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from lectura.pure.fingerprint import (
+    minhash_params,
+    rolling_fingerprint,
+    simhash64,
+)
+
+STOPWORDS = "the and of to a in is for on with".split()
+_STOP_RX = r"\b(" + "|".join(STOPWORDS) + r")\b"
+TOKEN_RX = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document (JVM-side)."""
+    w = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, min_jaccard: float = 0.0,
+                        min_inter: int = 2) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard via inverted shingle index
+    (the scalable alternative to an all-pairs cross join)."""
+    sh = word_ngrams(df, n=n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    s1 = sizes.select(F.col("id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("d1", "d2", "inter", "jaccard")
+    )
+
+
+_MH_P = (1 << 31) - 1  # matches pure.fingerprint: no int64 overflow in a*h+b
+
+
+def minhash_signatures(df: DataFrame, k: int = 32, n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig array<long>): K minhash values per doc in ONE shuffle.
+
+    Shingle hash = xxhash64 (JVM); permutations h_i = (a_i*h + b_i) mod p
+    with engine-fixed params. pmod keeps values non-negative."""
+    params = minhash_params(k)
+    sh = word_ngrams(df.select(F.col(id_col), F.col(text_col)), text_col=text_col,
+                     n=n, id_col=id_col)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MH_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
+                      min_est_jaccard: float = 0.5) -> DataFrame:
+    """LSH candidate pairs + estimated jaccard (fraction of matching
+    signature positions). bands×rows banding: pair is a candidate iff some
+    band's row-slice matches exactly (equi-join on the band hash)."""
+    r = k // bands
+    sig = minhash_signatures(df, k=k, n=n).cache()
+    band_rows = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", *[F.element_at("sig", bi * r + j + 1).cast("string")
+                               for j in range(r)]
+                    )).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
+                F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                        lambda m: m)) / F.lit(float(k)),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("d1", "d2", "est_jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    # signed view of the unsigned 64-bit simhash (Spark long)
+    return text.map(
+        lambda s: simhash64(s) - (1 << 64) if simhash64(s) >= (1 << 63)
+        else simhash64(s),
+        na_action="ignore",
+    )
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by simhash. Candidate generation bands the 64-bit
+    signature into 4×16-bit chunks: any pair with hamming distance ≤ 3 must
+    agree on at least one chunk (pigeonhole), so the chunk equi-join is a
+    lossless filter for max_hamming ≤ 3 and a high-recall heuristic above
+    that. Exact hamming via bit_count(xor) afterwards."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("sh", c * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("val"),
+            ) for c in range(4)
+        ])).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
+                F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(rolling_fingerprint, na_action="ignore")
