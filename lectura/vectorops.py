@@ -73,22 +73,54 @@ def lsh_bucket(df: DataFrame, planes: list[list[float]],
     return df.withColumn("bucket", bucket)
 
 
-def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-             n_planes: int = 8, seed: int = 42, multiprobe: bool = True,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: probe the query's bucket (+ all 1-bit-flip neighbors when
-    multiprobe) and rank candidates by exact cosine."""
-    dim = len(query_vec)
-    planes = random_planes(n_planes, dim, seed)
-    bucketed = lsh_bucket(df, planes, vec_col)
-    qbits = 0
+def lsh_buckets_multi(df: DataFrame, tables: list[list[list[float]]],
+                      vec_col: str = "embedding") -> DataFrame:
+    """(row…, table, bucket) — one row per (vector, LSH table). At scale
+    this is the persisted index: write partitioned by (table, bucket) so a
+    probe is a partition-pruned scan, no shuffle."""
+    entries = []
+    for ti, planes in enumerate(tables):
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plit = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.when(_dot(F.col(vec_col), plit) >= 0,
+                                     F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0)
+            )
+        entries.append(F.struct(F.lit(ti).alias("table"),
+                                bucket.alias("bucket")))
+    return df.withColumn("tb", F.explode(F.array(*entries))).select(
+        "*", "tb.table", "tb.bucket"
+    ).drop("tb")
+
+
+def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    bits = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
-            qbits |= 1 << i
-    probes = [qbits] + (
-        [qbits ^ (1 << i) for i in range(n_planes)] if multiprobe else []
+            bits |= 1 << i
+    return bits
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_planes: int = 6, n_tables: int = 16, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via multi-table (OR-construction) random-hyperplane LSH:
+    candidates = rows sharing the query's bucket in ANY of `n_tables`
+    independent tables; exact cosine rerank on the candidate set. More
+    tables ⇒ higher recall, proportionally more index rows — the standard
+    recall/cost dial."""
+    dim = len(query_vec)
+    tables = [random_planes(n_planes, dim, seed + 1000 * ti)
+              for ti in range(n_tables)]
+    indexed = lsh_buckets_multi(df, tables, vec_col)
+    probes = [(ti, _query_bucket(query_vec, planes))
+              for ti, planes in enumerate(tables)]
+    probe_df = df.sparkSession.createDataFrame(probes, "table int, bucket long")
+    cand = (
+        indexed.join(F.broadcast(probe_df), ["table", "bucket"], "left_semi")
+        .dropDuplicates([id_col])
     )
-    cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 

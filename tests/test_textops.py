@@ -1,0 +1,179 @@
+"""Dedup / similarity / fingerprint operators: planted-duplicate recall,
+pure-function parity, ANN recall vs brute force."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lectura.pure.fingerprint import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    rolling_fingerprint,
+    shingles,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 base docs + near-duplicate copies of the first 10 (one word
+    changed) + exact copies of the next 5."""
+    import random
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(60)) for _ in range(60)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    for j in range(10):  # near-dups: ids 100+j ~ j
+        w = base[j].split()
+        w[5] = "CHANGED"
+        rows.append((100 + j, " ".join(w)))
+    for j in range(10, 15):  # exact dups: ids 200+j ~ j
+        rows.append((200 + j, base[j]))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark, planted):
+    groups = (
+        planted.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert {(r.keep, r.n) for r in groups} == {(j, 2) for j in range(10, 15)}
+
+
+def test_minhash_lsh_finds_planted(spark, planted):
+    from lectura.textops import minhash_lsh_pairs
+
+    pairs = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(planted, k=32, bands=8,
+                                   min_est_jaccard=0.5).collect()
+    }
+    for j in range(10):
+        assert (j, 100 + j) in pairs, f"near-dup {j} missed"
+    for j in range(10, 15):
+        assert (j, 200 + j) in pairs, f"exact dup {j} missed"
+    # no wildly-false positives: every reported pair has real jaccard ≥ 0.3
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    for d1, d2 in pairs:
+        assert jaccard(shingles(texts[d1]), shingles(texts[d2])) >= 0.3
+
+
+def test_simhash_finds_planted_and_matches_pure(spark, planted):
+    from lectura.textops import simhash_pairs, simhash_udf
+
+    got = {r.doc_id: r.sh for r in
+           planted.select("doc_id", simhash_udf("text").alias("sh")).collect()}
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    for did, sh in got.items():
+        want = simhash64(texts[did])
+        want_signed = want - (1 << 64) if want >= (1 << 63) else want
+        assert sh == want_signed
+    pairs = {(r.d1, r.d2): r.hamming
+             for r in simhash_pairs(planted, max_hamming=10).collect()}
+    for j in range(10, 15):
+        assert pairs.get((j, 200 + j)) == 0
+    for j in range(10):
+        assert (j, 100 + j) in pairs
+        assert pairs[(j, 100 + j)] == hamming64(
+            simhash64(texts[j]), simhash64(texts[100 + j])
+        )
+
+
+def test_ngram_jaccard_pairs_exact_values(spark, planted):
+    from lectura.textops import ngram_jaccard_pairs
+
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    got = {(r.d1, r.d2): r.jaccard
+           for r in ngram_jaccard_pairs(planted, min_inter=2).collect()}
+    for j in range(10, 15):
+        assert got[(j, 200 + j)] == 1.0
+    for j in range(10):
+        want = jaccard(shingles(texts[j]), shingles(texts[100 + j]))
+        assert abs(got[(j, 100 + j)] - want) < 1e-3
+
+
+def test_minhash_estimates_jaccard(spark, planted):
+    """Signature agreement ≈ true jaccard (±0.25 at k=32)."""
+    from lectura.textops import minhash_signatures
+
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    sigs = {r.id: list(r.sig)
+            for r in minhash_signatures(planted, k=32).collect()}
+    for j in range(10):
+        est = sum(a == b for a, b in zip(sigs[j], sigs[100 + j])) / 32
+        true = jaccard(shingles(texts[j]), shingles(texts[100 + j]))
+        assert abs(est - true) < 0.25, (j, est, true)
+
+
+def test_rolling_fingerprint_parity(spark, planted):
+    from lectura.textops import rolling_fingerprint_udf
+
+    got = {r.doc_id: r.fp for r in
+           planted.select("doc_id", rolling_fingerprint_udf("text").alias("fp"))
+           .collect()}
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    assert got == {d: rolling_fingerprint(t) for d, t in texts.items()}
+    # order sensitivity: same words shuffled -> different fingerprint
+    assert rolling_fingerprint("a b c") != rolling_fingerprint("c b a")
+
+
+def test_pure_minhash_is_deterministic():
+    s1 = minhash_signature("the quick brown fox jumps over the lazy dog")
+    s2 = minhash_signature("the quick brown fox jumps over the lazy dog")
+    assert s1 == s2 and len(s1) == 32
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_lsh_recall_planted_neighbors(spark):
+    """Plant 15 true near-neighbors of vec 0 (tiny noise); multi-table LSH
+    must recover ≥80% of the brute-force top-10 on the augmented set."""
+    import random
+
+    import numpy as np
+
+    from lectura.vectorops import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = np.asarray(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rng = random.Random(3)
+    planted = []
+    for i in range(15):
+        noise = np.asarray([rng.gauss(0, 0.02) for _ in qvec], dtype=np.float32)
+        planted.append((10_000 + i, (qvec + noise).astype(np.float32).tolist(), -1))
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    exact = [r.vec_id for r in brute_force_topk(aug, list(qvec), k=10).collect()]
+    approx = [r.vec_id for r in
+              lsh_topk(aug, list(qvec), k=10, n_planes=6, n_tables=16).collect()]
+    assert exact[0] == 0
+    assert all(v >= 10_000 for v in exact[1:])  # planted dominate true top-10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_ann_brute_force_matches_numpy(spark):
+    import numpy as np
+
+    from lectura.vectorops import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    q = mat[pdf.vec_id.tolist().index(0)]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-np.round(cos, 4), pdf["vec_id"]))[:10]
+    want = [int(v) for _, v in order]
+    got = [r.vec_id for r in brute_force_topk(emb, list(q), k=10).collect()]
+    assert got == want
