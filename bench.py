@@ -1,0 +1,135 @@
+"""Benchmark entry (driver contract): headline crawl throughput + operator
+queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], plus the
+north-rule scaling evidence (same job at local[N/4] vs local[N]; the
+sandbox stand-in for N vs 4N executors — BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-phase/per-query seconds...}, "sf": <sf>,
+   "throughput_urls_per_sec": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+SMALL = max(2, CPUS // 4)
+ROUNDS = 3
+
+# corpus size scales with sf: sf0.1 → 1M urls (SURVEY.md §6 design point)
+_m = re.search(r"sf([0-9.]+)", SF_DIR)
+SF = float(_m.group(1)) if _m else 0.1
+N_URLS = max(2_000, int(10_000_000 * SF))
+N_HOSTS = max(50, int(N_URLS / 200))
+
+OPERATOR_QUERIES = [
+    "hash_agg_a1", "join_agg_f6", "window_rank_f2", "dedup_ngram_jaccard",
+    "ann_cosine_topk", "dedup_exact", "token_count",
+]
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 48g pyspark-shell"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def run_crawl(master: str, corpus_dir: str, wh_dir: str) -> dict:
+    cmd = [
+        sys.executable, "-m", "lectura.bench_worker",
+        "--master", master, "--corpus", corpus_dir, "--warehouse", wh_dir,
+        "--rounds", str(ROUNDS),
+        "--max-round-urls", str(min(100_000, max(5_000, N_URLS // 10))),
+        "--use-bloom",
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, env=_worker_env(),
+                       cwd=REPO)
+    for line in p.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
+    raise RuntimeError(f"bench worker failed for {master}")
+
+
+def main() -> None:
+    t_all = time.time()
+    work = tempfile.mkdtemp(prefix="lectura_bench_")
+    corpus_dir = os.path.join(work, "corpus")
+
+    # --- corpus generation (parallel, deterministic; not timed as crawl) ---
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
+    from lectura.session import get_spark
+    from lectura.synth import SynthParams
+    from lectura.synth_spark import materialize_corpus
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="lectura-bench-gen")
+    t0 = time.time()
+    p = SynthParams(n_urls=N_URLS, n_hosts=N_HOSTS, n_seeds=min(N_HOSTS, 500))
+    pages, seeds, robots = materialize_corpus(spark, p)
+    pages.write.mode("overwrite").parquet(f"{corpus_dir}/pages")
+    seeds.write.mode("overwrite").parquet(f"{corpus_dir}/seeds")
+    robots.write.mode("overwrite").parquet(f"{corpus_dir}/robots")
+    gen_sec = round(time.time() - t0, 1)
+
+    # --- operator queries at the sf dir (timed individually) ---------------
+    from lectura import contract
+
+    qtimes: dict[str, float] = {}
+    qs = contract.queries()
+    for name in OPERATOR_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # --- crawl at two parallelism levels (fresh JVM each) ------------------
+    big = run_crawl(f"local[{CPUS}]", corpus_dir, os.path.join(work, "wh_big"))
+    small = run_crawl(f"local[{SMALL}]", corpus_dir, os.path.join(work, "wh_small"))
+    shutil.rmtree(work, ignore_errors=True)
+
+    t_small, t_big = small["crawl_sec"], big["crawl_sec"]
+    ratio = CPUS // SMALL
+    efficiency = round((t_small / t_big) / ratio, 3)
+
+    queries = dict(big["rounds"])
+    queries.update(qtimes)
+    result = {
+        "metric": "crawl_3rounds_wall_sec_local%d" % CPUS,
+        "value": round(t_big, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "n_urls_corpus": N_URLS,
+        "scheduled": big["scheduled"],
+        "extracted": big["extracted"],
+        "throughput_urls_per_sec": big["urls_per_sec"],
+        "scaling": {
+            "small_master": f"local[{SMALL}]",
+            "big_master": f"local[{CPUS}]",
+            "t_small_sec": t_small,
+            "t_big_sec": t_big,
+            "small_urls_per_sec": small["urls_per_sec"],
+            "big_urls_per_sec": big["urls_per_sec"],
+            "efficiency": efficiency,
+        },
+        "gen_sec": gen_sec,
+        "total_bench_sec": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

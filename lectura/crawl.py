@@ -15,6 +15,7 @@ Run on a cluster:  spark-submit --py-files lectura.zip -m lectura.crawl \
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -88,6 +89,13 @@ class Crawler:
         cfg, wh, spark = self.cfg, self.wh, self.spark
         round_ts = cfg.round_ts(rnd)
         t0 = time.time()
+        trace: list[tuple[str, float]] = []
+        _last = [time.time()]
+
+        def mark(label: str) -> None:
+            now = time.time()
+            trace.append((label, round(now - _last[0], 2)))
+            _last[0] = now
 
         frontier = wh.read("frontier").filter(F.col("for_round") == rnd)
         seen = wh.read("seen")
@@ -119,6 +127,7 @@ class Crawler:
             "sched_rank", "url", "host", "hrk", "path_q", "depth", "score"
         ).cache()
         n_scheduled = scheduled.count()
+        mark("schedule")
 
         # as-of fetch join (F6/F7): broadcast the ≤max_round_urls schedule
         # into the big pages scan, prune page partitions by host_bucket
@@ -188,7 +197,7 @@ class Crawler:
         children = with_url_norm(children_raw)  # adds host/hrk/path_q
 
         leftovers = allowed.join(scheduled.select("url"), "url", "left_anti")
-        new_seen = scheduled.select("url").unionByName(blocked).distinct()
+        new_seen = scheduled.select("url").unionByName(blocked).distinct().cache()
         next_frontier = (
             dedupe_frontier(
                 leftovers.select(*children.columns)
@@ -201,15 +210,22 @@ class Crawler:
         # ---- writes (all appended, committed atomically via RoundLog) -----
         wh.append(
             "scheduled",
-            scheduled.withColumn("round", F.lit(rnd)),
+            scheduled.withColumn("round", F.lit(rnd)).coalesce(4),
         )
-        wh.append("frontier", next_frontier)
+        mark("w_scheduled")
         wh.append(
             "text",
             extracted.select(F.lit(rnd).alias("round"), "url", "text"),
         )
-        wh.append("fetch_log", fetch_log)
-        wh.append("seen", new_seen.select("url", F.lit(rnd).alias("round")))
+        mark("w_text_extract")
+        wh.append("frontier", next_frontier)
+        mark("w_frontier")
+        wh.append("fetch_log", fetch_log.coalesce(4))
+        mark("w_fetch_log")
+        wh.append(
+            "seen", new_seen.select("url", F.lit(rnd).alias("round")).coalesce(4)
+        )
+        mark("w_seen")
         if cfg.use_bloom:
             new_shards = bloom_build(
                 new_seen, cfg.n_shards,
@@ -222,6 +238,7 @@ class Crawler:
                 wh.overwrite("seen_shards", merged)
             else:
                 wh.overwrite("seen_shards", new_shards)
+        mark("w_bloom")
         touched = scheduled.select(
             "host", F.lit(rnd).alias("last_round")
         ).distinct()
@@ -229,15 +246,17 @@ class Crawler:
             wh.read("host_state").unionByName(touched)
             .groupBy("host").agg(F.max("last_round").alias("last_round"))
         )
-        wh.overwrite("host_state", new_state)
+        wh.overwrite("host_state", new_state.coalesce(1))
+        mark("w_host_state")
         wh.append(
             "lineage",
             partition_lineage(scheduled).select(
                 F.lit(rnd).alias("round"), F.lit("scheduled").alias("table"),
                 "*",
-            ),
+            ).coalesce(1),
         )
-        wh.append("metrics", fetch_metrics(fetch_log))
+        wh.append("metrics", fetch_metrics(fetch_log).coalesce(1))
+        mark("w_lineage_metrics")
 
         n_extracted = extracted.count()
         stats = {
@@ -246,10 +265,13 @@ class Crawler:
             "extracted": int(n_extracted),
             "seconds": round(time.time() - t0, 3),
         }
+        if os.environ.get("LECTURA_TRACE"):
+            stats["trace"] = trace
         self.log.commit(rnd, self._snapshots(), stats)
         verdict.unpersist()
         scheduled.unpersist()
         extracted.unpersist()
+        new_seen.unpersist()
         return stats
 
     # -- loop -----------------------------------------------------------------

@@ -21,6 +21,13 @@ _QUERY_ALLOWED = _PATH_ALLOWED | set("?")
 
 _DEFAULT_PORT = {"http": "80", "https": "443"}
 
+import re as _re
+
+# fast paths (pure optimizations — outputs identical, property-tested):
+# a component with no '%' and only always-allowed chars normalizes to itself
+_SAFE_PATH_RX = _re.compile(r"[A-Za-z0-9\-._~!$&'()*+,;=:@/]*\Z")
+_SAFE_QUERY_RX = _re.compile(r"[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*\Z")
+
 
 def pct_normalize(s: str, allowed: set[str]) -> str:
     """Percent-normalization per SEMANTICS.md §1.1.
@@ -57,6 +64,8 @@ def pct_normalize(s: str, allowed: set[str]) -> str:
 
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 remove_dot_segments, implemented literally."""
+    if "." not in path:  # no '.' char ⇒ no dot segments (fast path)
+        return path
     inp = path
     out: list[str] = []
     while inp:
@@ -92,10 +101,27 @@ def remove_dot_segments(path: str) -> str:
     return "".join(out)
 
 
+_CANON_CACHE: dict[str, str | None] = {}
+_CANON_CACHE_MAX = 1 << 16
+
+
 def canonicalize_url(url: str | None) -> str | None:
-    """Canonical form per SEMANTICS.md §1; None if not a crawlable http(s) URL."""
+    """Canonical form per SEMANTICS.md §1; None if not a crawlable http(s)
+    URL. Memoized (pure function; hrefs repeat heavily across the pages of
+    a host, so the cache pays off inside extraction batches)."""
     if not url:
         return None
+    hit = _CANON_CACHE.get(url, _CANON_CACHE_MAX)
+    if hit is not _CANON_CACHE_MAX:
+        return hit
+    out = _canonicalize_uncached(url)
+    if len(_CANON_CACHE) >= _CANON_CACHE_MAX:
+        _CANON_CACHE.clear()
+    _CANON_CACHE[url] = out
+    return out
+
+
+def _canonicalize_uncached(url: str) -> str | None:
     url = url.strip()
     if not url:
         return None
@@ -118,13 +144,17 @@ def canonicalize_url(url: str | None) -> str | None:
     hostport = host
     if port is not None and str(port) != _DEFAULT_PORT[scheme]:
         hostport = f"{host}:{port}"
-    path = pct_normalize(parts.path, _PATH_ALLOWED)
+    path = parts.path
+    if not _SAFE_PATH_RX.match(path):
+        path = pct_normalize(path, _PATH_ALLOWED)
     path = remove_dot_segments(path)
     if not path:
         path = "/"
     elif not path.startswith("/"):
         path = "/" + path
-    query = pct_normalize(parts.query, _QUERY_ALLOWED)
+    query = parts.query
+    if not _SAFE_QUERY_RX.match(query):
+        query = pct_normalize(query, _QUERY_ALLOWED)
     if query:
         return f"{scheme}://{hostport}{path}?{query}"
     return f"{scheme}://{hostport}{path}"

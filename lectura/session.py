@@ -42,11 +42,12 @@ def get_spark(
     for k, v in _DEFAULTS.items():
         b = b.config(k, v)
     if shuffle_partitions is None:
-        # local[N] → N-ish reduce tasks, not the 200 default
+        # local[N] → N reduce tasks, not the 200 default; AQE coalesces
+        # further at runtime, skew-split grows the hot ones
         n = os.cpu_count() or 8
         if master.startswith("local[") and master[6:-1].isdigit():
             n = int(master[6:-1])
-        shuffle_partitions = max(8, 2 * n)
+        shuffle_partitions = max(8, n)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra or {}).items():
         b = b.config(k, v)

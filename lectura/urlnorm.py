@@ -30,19 +30,23 @@ _URL_STRUCT = T.StructType(
 )
 
 
+def _norm_tuple(u: str) -> tuple:
+    c = canonicalize_url(u)
+    if c is None:
+        return (None, None, None, None)
+    return (c, registered_host(c), host_reverse_key(c), path_query_of(c))
+
+
 @F.pandas_udf(_URL_STRUCT)
 def url_norm_struct(urls: pd.Series) -> pd.DataFrame:
     """One Arrow pass: raw url -> (canonical url, host, host_reverse_key,
-    path?query). Nulls propagate for uncrawlable URLs."""
-    canon = urls.map(canonicalize_url, na_action="ignore")
-    mask = canon.notna()
-    host = pd.Series(None, index=urls.index, dtype=object)
-    hrk = pd.Series(None, index=urls.index, dtype=object)
-    pq = pd.Series(None, index=urls.index, dtype=object)
-    host[mask] = canon[mask].map(registered_host)
-    hrk[mask] = canon[mask].map(host_reverse_key)
-    pq[mask] = canon[mask].map(path_query_of)
-    return pd.DataFrame({"url": canon, "host": host, "hrk": hrk, "path_q": pq})
+    path?query). Nulls propagate for uncrawlable URLs. Each distinct URL in
+    the batch is normalized once (outlink batches repeat targets heavily)."""
+    memo = {u: _norm_tuple(u) for u in pd.unique(urls.dropna())}
+    none4 = (None, None, None, None)
+    tuples = [memo.get(u, none4) if u is not None else none4 for u in urls]
+    return pd.DataFrame(tuples, columns=["url", "host", "hrk", "path_q"],
+                        index=urls.index)
 
 
 @F.pandas_udf(T.StringType())
