@@ -3,6 +3,12 @@ queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], plus the
 north-rule scaling evidence (same job at local[N/4] vs local[N]; the
 sandbox stand-in for N vs 4N executors — BASELINE.md).
 
+Corpus: deterministic Common-Crawl-style pages at realistic page weight
+(~12 KB html) with Zipf-skewed hosts, generated in parallel on the fast
+scratch volume (tmpfs when available) and adopted zero-copy by the crawl
+warehouse. The crawl itself (schedule → fetch-join → extract → write) is
+what is timed; corpus generation is reported separately.
+
 Prints ONE JSON line:
   {"metric": "...", "value": <headline seconds>, "unit": "sec",
    "queries": {...per-phase/per-query seconds...}, "sf": <sf>,
@@ -28,11 +34,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 SMALL = max(2, CPUS // 4)
 ROUNDS = 3
 
-# corpus size scales with sf: sf0.1 → 1M urls (SURVEY.md §6 design point)
+# corpus scales with sf: sf0.1 → 500k URLs × ~12 KB html ≈ 6 GB corpus,
+# ~225k URLs scheduled+extracted over 3 rounds (SURVEY.md §6)
 _m = re.search(r"sf([0-9.]+)", SF_DIR)
 SF = float(_m.group(1)) if _m else 0.1
-N_URLS = max(2_000, int(10_000_000 * SF))
-N_HOSTS = max(50, int(N_URLS / 200))
+N_URLS = max(2_000, int(5_000_000 * SF))
+N_HOSTS = max(50, N_URLS // 100)
+N_SEEDS = max(200, N_URLS // 20)
+BODY_KB = 48.0
+ROUND_SECONDS = 300.0
+MAX_ROUND_URLS = max(2_000, N_URLS // 4)
 
 OPERATOR_QUERIES = [
     "hash_agg_a1", "join_agg_f6", "window_rank_f2", "dedup_ngram_jaccard",
@@ -40,23 +51,35 @@ OPERATOR_QUERIES = [
 ]
 
 
-def _worker_env() -> dict:
+def _scratch_root() -> str:
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and shutil.disk_usage(shm).free > 40 << 30:
+            return tempfile.mkdtemp(prefix="lectura_bench_", dir=shm)
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix="lectura_bench_")
+
+
+def _worker_env(scratch: str) -> dict:
     env = dict(os.environ)
     env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 48g pyspark-shell"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["LECTURA_SCRATCH"] = scratch
     return env
 
 
-def run_crawl(master: str, corpus_dir: str, wh_dir: str) -> dict:
+def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str) -> dict:
     cmd = [
         sys.executable, "-m", "lectura.bench_worker",
         "--master", master, "--corpus", corpus_dir, "--warehouse", wh_dir,
         "--rounds", str(ROUNDS),
-        "--max-round-urls", str(min(100_000, max(5_000, N_URLS // 10))),
-        "--use-bloom",
+        "--max-round-urls", str(MAX_ROUND_URLS),
+        "--use-bloom", "--html-gzip",
+        "--round-seconds", str(ROUND_SECONDS),
     ]
-    p = subprocess.run(cmd, capture_output=True, text=True, env=_worker_env(),
-                       cwd=REPO)
+    p = subprocess.run(cmd, capture_output=True, text=True,
+                       env=_worker_env(scratch), cwd=REPO)
     for line in p.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
             return json.loads(line[len("BENCH_RESULT "):])
@@ -66,19 +89,36 @@ def run_crawl(master: str, corpus_dir: str, wh_dir: str) -> dict:
 
 def main() -> None:
     t_all = time.time()
-    work = tempfile.mkdtemp(prefix="lectura_bench_")
-    corpus_dir = os.path.join(work, "corpus")
+    scratch = _scratch_root()
+    corpus_dir = os.path.join(scratch, "corpus")
 
     # --- corpus generation (parallel, deterministic; not timed as crawl) ---
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
+    from pyspark.sql import functions as F
+
+    from lectura.config import CrawlConfig
     from lectura.session import get_spark
     from lectura.synth import SynthParams
-    from lectura.synth_spark import materialize_corpus
+    from lectura.synth_spark import materialize_corpus_warc
+    from lectura.urlnorm import host_bucket
 
-    spark = get_spark(master=f"local[{CPUS}]", app_name="lectura-bench-gen")
+    gen_local = os.path.join(scratch, "sparklocal-gen")
+    os.makedirs(gen_local, exist_ok=True)
+    spark = get_spark(master=f"local[{CPUS}]", app_name="lectura-bench-gen",
+                      extra={"spark.local.dir": gen_local})
     t0 = time.time()
-    p = SynthParams(n_urls=N_URLS, n_hosts=N_HOSTS, n_seeds=min(N_HOSTS, 500))
-    pages, seeds, robots = materialize_corpus(spark, p)
+    p = SynthParams(n_urls=N_URLS, n_hosts=N_HOSTS, n_seeds=N_SEEDS,
+                    body_kb=BODY_KB, with_text=False)
+    # WARC-native layout: packfiles + slim index (no html column at all)
+    pages, seeds, robots = materialize_corpus_warc(
+        spark, p, f"{corpus_dir}/warc"
+    )
+    # pre-bucket so the crawl adopts the corpus zero-copy (no init rewrite)
+    pages = pages.withColumn(
+        "host_bucket",
+        host_bucket(F.lower(F.expr("parse_url(url, 'HOST')")),
+                    CrawlConfig().host_buckets),
+    )
     pages.write.mode("overwrite").parquet(f"{corpus_dir}/pages")
     seeds.write.mode("overwrite").parquet(f"{corpus_dir}/seeds")
     robots.write.mode("overwrite").parquet(f"{corpus_dir}/robots")
@@ -96,9 +136,11 @@ def main() -> None:
     spark.stop()
 
     # --- crawl at two parallelism levels (fresh JVM each) ------------------
-    big = run_crawl(f"local[{CPUS}]", corpus_dir, os.path.join(work, "wh_big"))
-    small = run_crawl(f"local[{SMALL}]", corpus_dir, os.path.join(work, "wh_small"))
-    shutil.rmtree(work, ignore_errors=True)
+    big = run_crawl(f"local[{CPUS}]", corpus_dir,
+                    os.path.join(scratch, "wh_big"), scratch)
+    small = run_crawl(f"local[{SMALL}]", corpus_dir,
+                      os.path.join(scratch, "wh_small"), scratch)
+    shutil.rmtree(scratch, ignore_errors=True)
 
     t_small, t_big = small["crawl_sec"], big["crawl_sec"]
     ratio = CPUS // SMALL
@@ -113,6 +155,8 @@ def main() -> None:
         "queries": queries,
         "sf": SF,
         "n_urls_corpus": N_URLS,
+        "page_kb": BODY_KB,
+        "round_seconds": ROUND_SECONDS,
         "scheduled": big["scheduled"],
         "extracted": big["extracted"],
         "throughput_urls_per_sec": big["urls_per_sec"],

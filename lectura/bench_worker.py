@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--max-per-host", type=int, default=50_000)
     ap.add_argument("--default-delay", type=float, default=0.001)
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--html-gzip", action="store_true")
+    ap.add_argument("--round-seconds", type=float, default=60.0)
     args = ap.parse_args()
 
     from lectura.config import CrawlConfig
@@ -31,24 +33,44 @@ def main() -> None:
     from lectura.session import get_spark
     from lectura.tables import Warehouse
 
-    spark = get_spark(master=args.master, app_name=f"lectura-bench-{args.master}")
+    import os
+
+    extra = {}
+    scratch = os.environ.get("LECTURA_SCRATCH")
+    if scratch:  # shuffle/spill on the fast scratch volume (bench: tmpfs)
+        local = os.path.join(scratch, f"sparklocal-{os.getpid()}")
+        os.makedirs(local, exist_ok=True)
+        extra["spark.local.dir"] = local
+    spark = get_spark(master=args.master, app_name=f"lectura-bench-{args.master}",
+                      extra=extra)
     cfg = CrawlConfig(
         max_round_urls=args.max_round_urls,
         max_per_host=args.max_per_host,
         default_delay=args.default_delay,
         use_bloom=args.use_bloom,
+        html_gzip=args.html_gzip,
+        round_seconds=args.round_seconds,
         seen_capacity=20_000_000,
     )
     shutil.rmtree(args.warehouse, ignore_errors=True)
     wh = Warehouse(args.warehouse, spark)
     crawler = Crawler(spark, wh, cfg)
 
-    pages = spark.read.parquet(f"{args.corpus}/pages")
+    pages_dir = f"{args.corpus}/pages"
+    pages = spark.read.parquet(pages_dir)
     seeds = spark.read.parquet(f"{args.corpus}/seeds")
     robots = spark.read.parquet(f"{args.corpus}/robots")
+    # adopt the immutable corpus zero-copy when it is pre-bucketed
+    pages_files = None
+    if "host_bucket" in pages.columns:
+        pages_files = [
+            os.path.join(pages_dir, f)
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        ]
 
     t0 = time.time()
-    crawler.init_tables(pages, seeds, robots)
+    crawler.init_tables(pages, seeds, robots, pages_files=pages_files or None)
     init_s = time.time() - t0
 
     t0 = time.time()

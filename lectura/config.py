@@ -27,6 +27,9 @@ class CrawlConfig:
     host_buckets: int = 32  # pages/frontier partition key fan-out
     salt_buckets: int = 8  # mega-host salting fan-out (U6/F1)
     use_bloom: bool = False  # exact anti-join path by default at test scale
+    # pages.html stored WARC-style gzipped (bench/cluster corpora); bodies
+    # are inflated inside the extraction workers (lectura/extract.py)
+    html_gzip: bool = False
 
     def depth_base(self) -> dict[int, float]:
         """w1 * decay**d precomputed in Python once, shipped to Spark as

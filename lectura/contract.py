@@ -1240,3 +1240,113 @@ def crawl_flagship(spark, sf_dir):
     import __spark_entry__ as e
 
     return e.entry(spark)
+
+
+# ===========================================================================
+# Structured Streaming operators (SURVEY.md §2.8) — each runs a REAL
+# streaming query (file source → memory sink, availableNow trigger) over
+# the fixture events and is checked against the same DuckDB SQL as its
+# batch twin: streaming and batch must agree row-for-row.
+# ===========================================================================
+
+def _event_stream(spark, sf_dir):
+    from lectura import streaming
+
+    return streaming.read_event_stream(spark, f"{sf_dir}/events.parquet")
+
+
+# ST2 — tumbling-window metrics, streamed (complete mode ⇒ watermark is
+# advisory, so the full-input result equals the batch aggregation)
+@q(
+    "stream_tumbling_st2",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_st2(spark, sf_dir):
+    from lectura import streaming
+
+    agg = streaming.tumbling_metrics(_event_stream(spark, sf_dir))
+    return streaming.collect_stream(agg, spark)
+
+
+# ST3 — sliding-window rates, streamed
+@q(
+    "stream_sliding_st3",
+    """
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800 AS ws
+      FROM events, (VALUES (0), (1)) ks(k)
+    ) GROUP BY 1
+    """,
+)
+def stream_sliding_st3(spark, sf_dir):
+    from lectura import streaming
+
+    agg = streaming.sliding_rates(_event_stream(spark, sf_dir))
+    return streaming.collect_stream(agg, spark)
+
+
+# ST4 — session windows, streamed
+@q(
+    "stream_session_st4",
+    """
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events)
+    ) GROUP BY user_id, session_id
+    """,
+)
+def stream_session_st4(spark, sf_dir):
+    from lectura import streaming
+
+    agg = streaming.session_metrics(_event_stream(spark, sf_dir))
+    return streaming.collect_stream(agg, spark)
+
+
+# ST7 — streaming dedupe (first-occurrence-wins on the event feed);
+# projected to the key column so the surviving row set is deterministic
+@q(
+    "stream_dedupe_st7",
+    "SELECT DISTINCT event_type FROM events",
+)
+def stream_dedupe_st7(spark, sf_dir):
+    from lectura import streaming
+
+    ev = _event_stream(spark, sf_dir).select("event_type", "ts")
+    out = streaming.stream_dedupe(ev, ["event_type"]).select("event_type")
+    return streaming.collect_stream(out, spark, output_mode="append")
+
+
+# ST6 — stateful per-host throttle (state across micro-batches is a
+# runtime artifact → rows-only; cross-batch behavior proven in
+# tests/test_streaming.py). Aggregated so the output is deterministic.
+@q("stream_host_throttle_st6", None)
+def stream_host_throttle_st6(spark, sf_dir):
+    from lectura import streaming
+
+    ev = _event_stream(spark, sf_dir).select(
+        F.concat(F.lit("host"), (F.col("user_id") % 13).cast("string")).alias("host"),
+        F.concat(F.lit("http://h/"), F.col("event_id").cast("string")).alias("url"),
+        "ts",
+    )
+    out = streaming.host_throttle(ev, delay_s=3600.0)
+    res = streaming.collect_stream(out, spark, output_mode="append")
+    return res.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+    )

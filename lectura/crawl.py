@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from lectura.config import CrawlConfig
 from lectura.checkpoint import RoundLog
-from lectura.extract import extract_pages
+from lectura.extract import extract_pages, warc_fetch_extract
 from lectura.frontier import dedupe_frontier, rank_per_host, schedule, with_budget
 from lectura.metrics import fetch_metrics, partition_lineage
 from lectura.robots import apply_robots, build_rule_table, host_delay_table
@@ -45,16 +45,29 @@ class Crawler:
 
     # -- setup ---------------------------------------------------------------
     def init_tables(self, pages: DataFrame, seeds: DataFrame,
-                    robots: DataFrame) -> None:
+                    robots: DataFrame,
+                    pages_files: list[str] | None = None) -> None:
         """Materialize corpus + round-0 state. Pages are partition-keyed by
-        host_bucket so per-round fetch joins can prune (S1)."""
+        host_bucket so per-round fetch joins can prune (S1).
+
+        If the corpus already carries host_bucket the rewrite is skipped;
+        with `pages_files` the existing parquet is adopted zero-copy
+        (Iceberg add_files equivalent) — at bench/cluster scale rewriting
+        a multi-GB corpus just to catalog it is pure waste, and the
+        host_bucket shuffle (only 32 distinct keys → hash collisions +
+        mega-host straggler) is the worst shuffle in the pipeline."""
         cfg = self.cfg
-        pages_keyed = pages.withColumn(
-            "host_bucket",
-            host_bucket(F.lower(F.expr("parse_url(url, 'HOST')")),
-                        cfg.host_buckets),
-        ).repartition(cfg.host_buckets, "host_bucket")
-        self.wh.overwrite("pages", pages_keyed)
+        if pages_files is not None:
+            self.wh.register("pages", pages_files)
+        elif "host_bucket" in pages.columns:
+            self.wh.overwrite("pages", pages)
+        else:
+            pages_keyed = pages.withColumn(
+                "host_bucket",
+                host_bucket(F.lower(F.expr("parse_url(url, 'HOST')")),
+                            cfg.host_buckets),
+            ).repartition(cfg.host_buckets, "host_bucket")
+            self.wh.overwrite("pages", pages_keyed)
         self.wh.overwrite("robots", robots)
         rules = build_rule_table(self.wh.read("robots"), cfg.agent)
         self.wh.overwrite("rules", rules)
@@ -97,6 +110,7 @@ class Crawler:
             trace.append((label, round(now - _last[0], 2)))
             _last[0] = now
 
+        spark.sparkContext.setJobDescription(f"r{rnd}:schedule")
         frontier = wh.read("frontier").filter(F.col("for_round") == rnd)
         seen = wh.read("seen")
         rules = wh.read("rules")
@@ -126,33 +140,73 @@ class Crawler:
         scheduled = schedule(ranked, cfg).select(
             "sched_rank", "url", "host", "hrk", "path_q", "depth", "score"
         ).cache()
-        n_scheduled = scheduled.count()
+        # one job materializes the cache AND yields count + host buckets
+        # (fewer driver round-trips — serial job latency is the scaling tax)
+        bucket_counts = scheduled.groupBy(
+            host_bucket("host", cfg.host_buckets).alias("hb")
+        ).count().collect()
+        n_scheduled = sum(r["count"] for r in bucket_counts)
         mark("schedule")
 
-        # as-of fetch join (F6/F7): broadcast the ≤max_round_urls schedule
-        # into the big pages scan, prune page partitions by host_bucket
+        # as-of fetch join (F6/F7), late-materialized: pick each url's
+        # winning capture on a SLIM scan (url, warc_ts only — WindowGroupLimit
+        # top-1, a few MB through the shuffle), then broadcast the winners
+        # back into the wide scan so MB-scale html is never shuffled — at
+        # corpus scale the html exchange, not the join, is the bottleneck.
+        # Both scans prune by host_bucket partitions first.
         pages = wh.read("pages")
         sched_slim = scheduled.select("url", "depth", "score")
         if n_scheduled and "host_bucket" in pages.columns:
-            buckets = [
-                r[0]
-                for r in scheduled.select(
-                    host_bucket("host", cfg.host_buckets).alias("hb")
-                ).distinct().collect()
-            ]
+            buckets = [r["hb"] for r in bucket_counts]
             pages = pages.filter(F.col("host_bucket").isin(buckets))
-        cand_pages = pages.filter(F.col("warc_ts") <= F.lit(round_ts)).join(
-            F.broadcast(sched_slim), "url"
+        slim = (
+            pages.select("url", "warc_ts")
+            .filter(F.col("warc_ts") <= F.lit(round_ts))
+            .join(F.broadcast(scheduled.select("url")), "url")
         )
         w_asof = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-        latest = (
-            cand_pages.withColumn("_rn", F.row_number().over(w_asof))
+        winners = (
+            slim.withColumn("_rn", F.row_number().over(w_asof))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-
-        # fused extraction (X4) — html crosses to Python exactly once
-        extracted = extract_pages(latest).cache()
+        # Redistribute the ≤max_round_urls fetched rows round-robin before
+        # extraction: hosts are contiguous in corpus files, so matched pages
+        # cluster in few scan partitions (a mega-host → one straggler
+        # extractor) — and slim/WARC-gzipped rows make this shuffle cheap.
+        n_extract_parts = max(
+            64, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+        )
+        if "warc_file" in pages.columns:
+            # WARC corpus (S1b): bodies live in packfiles; fetch+extract is
+            # one fused Python pass doing ranged reads — page bytes never
+            # enter the JVM (see extract.warc_fetch_extract).
+            fetch_meta = pages.select(
+                "url", "warc_ts", "warc_file", "warc_offset", "warc_len"
+            ).join(F.broadcast(winners), ["url", "warc_ts"]).join(
+                F.broadcast(sched_slim), "url"
+            )
+            extract_df = warc_fetch_extract(
+                fetch_meta.repartition(n_extract_parts)
+            )
+        else:
+            latest = pages.select("url", "warc_ts", "html").join(
+                F.broadcast(winners), ["url", "warc_ts"]
+            ).join(F.broadcast(sched_slim), "url")
+            # Fused extraction (X4) — html crosses to Python exactly once.
+            extract_df = extract_pages(
+                latest.repartition(n_extract_parts), gzipped=cfg.html_gzip
+            )
+        # Materialize the extraction ONCE as the text sink itself (S7) and
+        # re-read it (column-pruned parquet, round pruned by row-group
+        # stats) for every downstream consumer — text+links never sit in a
+        # columnar memory cache (MB-scale strings there mean GC churn that
+        # stalls all 32 cores), and the written table doubles as the
+        # round's resume artifact (ST8).
+        spark.sparkContext.setJobDescription(f"r{rnd}:extract-write")
+        wh.append("text", extract_df.withColumn("round", F.lit(rnd)))
+        spark.sparkContext.setJobDescription(f"r{rnd}:counts")
+        extracted = wh.read("text").filter(F.col("round") == rnd).drop("round")
 
         ok_log = (
             extracted.join(scheduled.select("url", "host"), "url")
@@ -208,25 +262,37 @@ class Crawler:
         )
 
         # ---- writes (all appended, committed atomically via RoundLog) -----
-        wh.append(
-            "scheduled",
-            scheduled.withColumn("round", F.lit(rnd)).coalesce(4),
-        )
-        mark("w_scheduled")
-        wh.append(
-            "text",
-            extracted.select(F.lit(rnd).alias("round"), "url", "text"),
-        )
-        mark("w_text_extract")
-        wh.append("frontier", next_frontier)
-        mark("w_frontier")
-        wh.append("fetch_log", fetch_log.coalesce(4))
-        mark("w_fetch_log")
-        wh.append(
-            "seen", new_seen.select("url", F.lit(rnd).alias("round")).coalesce(4)
-        )
-        mark("w_seen")
-        if cfg.use_bloom:
+        # Materialize the two shared caches with cheap actions first, then
+        # fan the independent sink writes out over driver threads: Spark
+        # schedules the jobs concurrently, so the many small sinks
+        # (fetch_log, seen, host_state, lineage, metrics) cost one job
+        # latency instead of a serial sum — on a real cluster these are
+        # separate Iceberg commits and equally independent.
+        n_extracted = extracted.count()
+        new_seen.count()
+        mark("materialize")
+
+        def w_scheduled():
+            wh.append(
+                "scheduled",
+                scheduled.withColumn("round", F.lit(rnd)).coalesce(4),
+            )
+
+        def w_frontier():
+            wh.append("frontier", next_frontier)
+
+        def w_fetch_log():
+            wh.append("fetch_log", fetch_log.coalesce(4))
+
+        def w_seen():
+            wh.append(
+                "seen",
+                new_seen.select("url", F.lit(rnd).alias("round")).coalesce(4),
+            )
+
+        def w_bloom():
+            if not cfg.use_bloom:
+                return
             new_shards = bloom_build(
                 new_seen, cfg.n_shards,
                 max(1024, cfg.seen_capacity // cfg.n_shards), cfg.fpp
@@ -238,27 +304,47 @@ class Crawler:
                 wh.overwrite("seen_shards", merged)
             else:
                 wh.overwrite("seen_shards", new_shards)
-        mark("w_bloom")
-        touched = scheduled.select(
-            "host", F.lit(rnd).alias("last_round")
-        ).distinct()
-        new_state = (
-            wh.read("host_state").unionByName(touched)
-            .groupBy("host").agg(F.max("last_round").alias("last_round"))
-        )
-        wh.overwrite("host_state", new_state.coalesce(1))
-        mark("w_host_state")
-        wh.append(
-            "lineage",
-            partition_lineage(scheduled).select(
-                F.lit(rnd).alias("round"), F.lit("scheduled").alias("table"),
-                "*",
-            ).coalesce(1),
-        )
-        wh.append("metrics", fetch_metrics(fetch_log).coalesce(1))
-        mark("w_lineage_metrics")
 
-        n_extracted = extracted.count()
+        def w_host_state():
+            touched = scheduled.select(
+                "host", F.lit(rnd).alias("last_round")
+            ).distinct()
+            new_state = (
+                wh.read("host_state").unionByName(touched)
+                .groupBy("host").agg(F.max("last_round").alias("last_round"))
+            )
+            wh.overwrite("host_state", new_state.coalesce(1))
+
+        def w_lineage():
+            wh.append(
+                "lineage",
+                partition_lineage(scheduled).select(
+                    F.lit(rnd).alias("round"),
+                    F.lit("scheduled").alias("table"), "*",
+                ).coalesce(1),
+            )
+
+        def w_metrics():
+            wh.append("metrics", fetch_metrics(fetch_log).coalesce(1))
+
+        sinks = [w_scheduled, w_frontier, w_fetch_log, w_seen,
+                 w_bloom, w_host_state, w_lineage, w_metrics]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run_sink(fn):
+            spark.sparkContext.setJobDescription(f"r{rnd}:{fn.__name__}")
+            return fn()
+
+        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+            futures = {pool.submit(_run_sink, fn): fn.__name__ for fn in sinks}
+            for fut, name in futures.items():
+                try:
+                    fut.result()
+                except Exception as e:
+                    raise RuntimeError(
+                        f"sink {name} failed in round {rnd}"
+                    ) from e
+        mark("w_sinks")
         stats = {
             "round": rnd,
             "scheduled": int(n_scheduled),
@@ -270,7 +356,6 @@ class Crawler:
         self.log.commit(rnd, self._snapshots(), stats)
         verdict.unpersist()
         scheduled.unpersist()
-        extracted.unpersist()
         new_seen.unpersist()
         return stats
 

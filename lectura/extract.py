@@ -25,15 +25,24 @@ EXTRACT_SCHEMA = (
 )
 
 
-def extract_pages(fetched: DataFrame) -> DataFrame:
+def extract_pages(fetched: DataFrame, gzipped: bool = False) -> DataFrame:
     """X4: (url, depth, score, html) -> (url, depth, score, text, links,
-    n_links, bytes). Fused mapInPandas — html never leaves this stage."""
+    n_links, bytes). Fused mapInPandas — html never leaves this stage.
+
+    `gzipped=True` means page bodies are stored WARC-style (gzip member per
+    page) and are inflated here, inside the Python worker: at corpus scale
+    this cuts parquet scan + broadcast bandwidth ~4× and converts it into
+    per-core decompression work that scales with executors. `bytes` always
+    reports the DECOMPRESSED body size (fetch-metric semantics)."""
+    import gzip as _gzip
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, links, nbytes = [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 b = bytes(html) if html is not None else b""
+                if gzipped and b:
+                    b = _gzip.decompress(b)
                 texts.append(extract_text(b))
                 links.append(extract_links(b, url))
                 nbytes.append(len(b))
@@ -69,3 +78,56 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
             for b, u in zip(html, base_url)
         ]
     )
+
+
+WARC_FETCH_SCHEMA = EXTRACT_SCHEMA
+
+
+def warc_fetch_extract(fetch_meta: DataFrame, gzipped: bool = True) -> DataFrame:
+    """Fused WARC fetch + extract (S1b + X4): input rows carry (url, depth,
+    score, warc_file, warc_offset, warc_len); each Python worker preads the
+    gzip member for its rows, inflates, and extracts — page bytes NEVER
+    enter the JVM. This is the Common-Crawl-native fetch path: at 100 TB
+    the corpus is WARC segments + a slim parquet index, and a round reads
+    only the ≤max_round_urls scheduled bodies (ranged reads) instead of
+    decoding the full html column of every row just to evaluate the fetch
+    join — the latter is memory-bandwidth-bound and stops scaling long
+    before 32 cores."""
+    import gzip as _gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                texts, links, nbytes = [], [], []
+                for url, wf, off, ln in zip(
+                    pdf["url"], pdf["warc_file"], pdf["warc_offset"],
+                    pdf["warc_len"]
+                ):
+                    fh = handles.get(wf)
+                    if fh is None:
+                        fh = handles[wf] = open(wf, "rb")
+                    fh.seek(int(off))
+                    b = fh.read(int(ln))
+                    if gzipped:
+                        b = _gzip.decompress(b)
+                    texts.append(extract_text(b))
+                    links.append(extract_links(b, url))
+                    nbytes.append(len(b))
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "depth": pdf["depth"],
+                        "score": pdf["score"],
+                        "text": texts,
+                        "links": links,
+                        "n_links": [len(x) for x in links],
+                        "bytes": nbytes,
+                    }
+                )
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    cols = ["url", "depth", "score", "warc_file", "warc_offset", "warc_len"]
+    return fetch_meta.select(*cols).mapInPandas(run, WARC_FETCH_SCHEMA)

@@ -28,6 +28,12 @@ _DEFAULTS = {
     # Broadcast threshold covers robots rule tables and bloom-shard dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # Local mode: ContextCleaner only reclaims shuffle/broadcast blocks
+    # after a driver GC; with a large heap that may never happen and
+    # accumulated blocks turn into G1 full-GC storms by round 3 of a
+    # crawl. Force a periodic GC so cleanup keeps pace with the round
+    # loop (no-op overhead on a real cluster).
+    "spark.cleaner.periodicGC.interval": "15s",
 }
 
 

@@ -41,6 +41,14 @@ class SynthParams:
     n_seeds: int = 8
     doc_texts: tuple[str, ...] = ()  # optional body sentences (from documents)
     base_ts: datetime = datetime(2025, 12, 1, tzinfo=timezone.utc)
+    # Extra filler body to reach ~body_kb KB of html per page (0 = legacy
+    # small pages). Bench corpora use 8–16 KB — the realistic
+    # Common-Crawl-scale page weight — so extraction is real work; test
+    # fixtures/goldens keep the default and are byte-identical to before.
+    body_kb: float = 0.0
+    # write the text golden column (tests/oracle need it; bench corpora
+    # skip it — the pipeline recomputes text from html anyway)
+    with_text: bool = True
 
     def host_bounds(self) -> list[int]:
         """Contiguous index range per host: host h owns [b[h], b[h+1])."""
@@ -171,6 +179,16 @@ def page_html(i: int, p: SynthParams, bounds: list[int]) -> bytes:
     parts.append("</ul>")
     for s in _body_sentences(i, p, rng):
         parts.append(f"<p>{s}</p>")
+    if p.body_kb > 0:  # pad to ~body_kb KB with deterministic prose
+        target = int(p.body_kb * 1024)
+        size = sum(len(x) for x in parts)
+        while size < target:
+            s = " ".join(
+                rng.choice(_WORDS) for _ in range(rng.randint(10, 24))
+            ).capitalize()
+            para = f"<p>{s}.</p>"
+            parts.append(para)
+            size += len(para) + 1
     parts.append('<a href="mailto:admin@example.com">contact</a>')
     parts.append('<a href="#top">top</a>')
     parts.append("</body></html>")
@@ -202,7 +220,7 @@ def page_records(i: int, p: SynthParams, bounds: list[int]) -> list[dict]:
                 "url": url,
                 "warc_ts": ts,
                 "html": html,
-                "text": extract_text(html),
+                "text": extract_text(html) if p.with_text else "",
                 "lang": lang,
             }
         )
@@ -210,14 +228,30 @@ def page_records(i: int, p: SynthParams, bounds: list[int]) -> list[dict]:
 
 
 def make_seeds(p: SynthParams, bounds: list[int]) -> list[dict]:
-    """Seed list: root pages of the first hosts, in non-canonical forms."""
+    """Seed list: root pages of the first hosts, in non-canonical forms.
+    When n_seeds > n_hosts, additional passes seed deeper pages spread
+    across each host's index range (distinct, deterministic) — lets bench
+    corpora start with a full frontier instead of one URL per host."""
     rng = random.Random((p.seed << 30) ^ 0x5EED)
     seeds = []
-    for j in range(min(p.n_seeds, p.n_hosts)):
-        url = url_for(bounds[j], p, bounds)
+    seen_idx: set[int] = set()
+    j = 0
+    while len(seeds) < p.n_seeds:
+        h = j % p.n_hosts
+        pass_no = j // p.n_hosts
+        lo, hi = bounds[h], bounds[h + 1]
+        idx = lo if pass_no == 0 else lo + (pass_no * 2654435761) % max(hi - lo, 1)
+        parity = j % 2
+        j += 1
+        if idx in seen_idx:
+            if j > p.n_seeds * 4 + p.n_hosts:  # host ranges exhausted
+                break
+            continue
+        seen_idx.add(idx)
+        url = url_for(idx, p, bounds)
         seeds.append(
             {
-                "url": _noncanon_variant(url, rng) if j % 2 else url,
+                "url": _noncanon_variant(url, rng) if parity else url,
                 "score": round(0.5 + 0.5 * rng.random(), 6),
             }
         )

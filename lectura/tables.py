@@ -95,6 +95,15 @@ class Warehouse:
     def snapshot(self, name: str) -> int | None:
         return self._head(name)
 
+    def register(self, name: str, files: list[str]) -> int:
+        """Adopt existing immutable parquet files as a table snapshot
+        WITHOUT copying (Iceberg `add_files` equivalent). The caller
+        guarantees the files are never mutated afterwards; at bench/cluster
+        scale this avoids rewriting a multi-GB corpus just to catalog it."""
+        if not files:
+            raise ValueError(f"register({name!r}): empty file list")
+        return self._commit(name, [os.path.abspath(f) for f in files])
+
     def append(self, name: str, df: DataFrame) -> int:
         """Atomic append: new snapshot = previous files + new files."""
         files = self._files(name) + self._write_files(name, df)

@@ -102,3 +102,35 @@ def test_spark_extraction_matches_pure(spark, corpus):
         assert text == extract_text(row["html"])
         assert text == row["text"]  # synth stores the golden by construction
         assert list(links) == extract_links(row["html"], row["url"])
+
+
+def test_gzip_corpus_extraction_identical(spark, corpus):
+    """WARC-style gzipped bodies (bench corpus layout) must extract to
+    byte-identical text/links vs the raw-html path (B:15)."""
+    import gzip
+
+    import pandas as pd
+
+    from lectura.extract import extract_pages
+
+    uniq: dict[str, dict] = {}
+    for p in corpus["pages"]:
+        uniq.setdefault(p["url"], p)
+        if len(uniq) == 50:
+            break
+    rows = [
+        {"url": p["url"], "depth": 0, "score": 1.0, "html": p["html"]}
+        for p in uniq.values()
+    ]
+    raw = spark.createDataFrame(
+        pd.DataFrame(rows), schema="url string, depth int, score double, html binary"
+    )
+    gz_rows = [dict(r, html=gzip.compress(r["html"], 1)) for r in rows]
+    gz = spark.createDataFrame(
+        pd.DataFrame(gz_rows), schema="url string, depth int, score double, html binary"
+    )
+    a = {r["url"]: (r["text"], tuple(r["links"]), r["bytes"])
+         for r in extract_pages(raw).collect()}
+    b = {r["url"]: (r["text"], tuple(r["links"]), r["bytes"])
+         for r in extract_pages(gz, gzipped=True).collect()}
+    assert a == b and len(a) == 50

@@ -1,0 +1,202 @@
+"""Structured Streaming tests (SURVEY.md §5.7: ST2–ST8).
+
+Micro-batch sequencing is driven by a file source with
+maxFilesPerTrigger=1 over files whose mtimes force replay order, so
+watermark eviction and cross-batch state are actually exercised (not
+just single-batch degenerate runs).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lectura import streaming
+
+
+def _write_batch(watch_dir: str, seq: int, rows: list[dict], schema: pa.Schema):
+    os.makedirs(watch_dir, exist_ok=True)
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema)
+    path = os.path.join(watch_dir, f"{seq:02d}.parquet")
+    pq.write_table(tbl, path)
+    # file source orders by modification time: force strictly increasing
+    t = time.time() - 1000 + seq * 10
+    os.utime(path, (t, t))
+    return path
+
+
+EVENT_PA_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+FETCH_PA_SCHEMA = pa.schema(
+    [("host", pa.string()), ("url", pa.string()), ("ts", pa.timestamp("us"))]
+)
+
+
+def _ev(eid, ts, etype="fetch", uid=1, value=1.0):
+    return {
+        "event_id": eid,
+        "ts": datetime.fromisoformat(ts),
+        "user_id": uid,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def _fetch(host, url, ts):
+    return {"host": host, "url": url, "ts": datetime.fromisoformat(ts)}
+
+
+# --- ST2/ST3/ST4/ST7: streamed result == batch result on fixtures --------
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", [
+    "stream_tumbling_st2", "stream_sliding_st3", "stream_session_st4",
+    "stream_dedupe_st7",
+])
+def test_streamed_equals_batch(spark, name):
+    from lectura import contract
+
+    batch_twin = {
+        "stream_tumbling_st2": "tumbling_st2",
+        "stream_sliding_st3": "sliding_st3",
+        "stream_session_st4": "session_st4",
+    }
+    qs = contract.queries()
+    streamed = {tuple(r) for r in qs[name](spark, SF0001).collect()}
+    if name == "stream_dedupe_st7":
+        import pyspark.sql.functions as F
+
+        expect = {
+            tuple(r)
+            for r in spark.read.parquet(f"{SF0001}/events.parquet")
+            .select("event_type").distinct().collect()
+        }
+        del F
+    else:
+        expect = {tuple(r) for r in qs[batch_twin[name]](spark, SF0001).collect()}
+    assert streamed == expect and len(streamed) > 0
+
+
+# --- ST5: late rows beyond the watermark are dropped ----------------------
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    watch = str(tmp_path / "events_in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # Spark ≥3.4 filters late events with the PREVIOUS batch's watermark
+    # and evicts state with the current one, so the sequence is:
+    # batch 0: fill the 10:00 window; 12:30 advances the watermark to
+    # 12:20 (takes effect from batch 1 on)
+    _write_batch(watch, 0, [
+        _ev(1, "2026-01-01 10:05:00"),
+        _ev(2, "2026-01-01 10:10:00"),
+        _ev(3, "2026-01-01 12:30:00"),
+    ], EVENT_PA_SCHEMA)
+    # batch 1: eviction watermark 12:20 finalizes+emits [10:00,11:00) with
+    # n=2; 15:00 advances the late-event watermark to 14:50 for batch 2
+    _write_batch(watch, 1, [_ev(5, "2026-01-01 15:00:00")], EVENT_PA_SCHEMA)
+    # batch 2: a LATE row for the finalized 10:00 window → dropped by the
+    # 14:50 watermark, never merged into state, never emitted
+    _write_batch(watch, 2, [_ev(4, "2026-01-01 10:15:00")], EVENT_PA_SCHEMA)
+
+    ev = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
+    agg = streaming.tumbling_metrics(ev, size="1 hour", watermark="10 minutes")
+    q = streaming.run_available_now(agg, sink, ckpt)
+
+    out = {r["win_start"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    assert out["2026-01-01 10:00:00"] == 2  # late event_id=4 not counted
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # the state store explicitly dropped the late row
+
+
+# --- ST6: stateful throttle carries last-fetch-ts across micro-batches ----
+
+def test_host_throttle_state_across_batches(spark, tmp_path):
+    watch = str(tmp_path / "fetch_in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(watch, 0, [
+        _fetch("a.example", "http://a.example/1", "2026-01-01 10:00:00"),
+        _fetch("a.example", "http://a.example/2", "2026-01-01 10:00:30"),
+        _fetch("b.example", "http://b.example/1", "2026-01-01 10:00:30"),
+    ], FETCH_PA_SCHEMA)
+    _write_batch(watch, 1, [
+        # within 60s of a.example's last ADMITTED fetch (10:00:00) → reject;
+        # without cross-batch state this would be admitted
+        _fetch("a.example", "http://a.example/3", "2026-01-01 10:00:50"),
+        _fetch("a.example", "http://a.example/4", "2026-01-01 10:02:00"),
+    ], FETCH_PA_SCHEMA)
+
+    fetches = (
+        spark.readStream.schema(streaming.FETCH_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+    )
+    out = streaming.host_throttle(fetches, delay_s=60.0)
+    streaming.run_available_now(out, sink, ckpt)
+
+    rows = {r["url"]: r["admitted"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {
+        "http://a.example/1": True,
+        "http://a.example/2": False,   # 30s < 60s within batch 1
+        "http://b.example/1": True,    # different host unaffected
+        "http://a.example/3": False,   # cross-batch state: 50s < 60s
+        "http://a.example/4": True,    # 120s ≥ 60s
+    }
+
+
+# --- ST8 (streaming face): foreachBatch is exactly-once per batch id ------
+
+def test_foreach_batch_exactly_once(spark, tmp_path):
+    watch = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _write_batch(watch, i, [_ev(i, f"2026-01-01 10:0{i}:00")],
+                     EVENT_PA_SCHEMA)
+
+    delivered: list[tuple[int, int]] = []
+
+    def batch_fn(bdf, bid):
+        delivered.append((bid, bdf.count()))
+
+    ev = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
+    streaming.run_foreach_batch(ev, batch_fn, ckpt)
+    assert sorted(delivered) == [(0, 1), (1, 1), (2, 1)]
+
+    # rerun against the SAME checkpoint: commit log says all batches done →
+    # nothing is re-delivered (idempotent resume, B:14)
+    rerun: list[tuple[int, int]] = []
+
+    def batch_fn2(bdf, bid):
+        rerun.append((bid, bdf.count()))
+
+    ev2 = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
+    streaming.run_foreach_batch(ev2, batch_fn2, ckpt)
+    assert sum(n for _, n in rerun) == 0
+
+    # new data after resume IS delivered exactly once
+    _write_batch(watch, 3, [_ev(99, "2026-01-01 11:00:00")], EVENT_PA_SCHEMA)
+    ev3 = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
+    streaming.run_foreach_batch(ev3, batch_fn2, ckpt)
+    assert sum(n for _, n in rerun) == 1
