@@ -38,12 +38,12 @@ ROUNDS = 3
 # ~225k URLs scheduled+extracted over 3 rounds (SURVEY.md §6)
 _m = re.search(r"sf([0-9.]+)", SF_DIR)
 SF = float(_m.group(1)) if _m else 0.1
-N_URLS = max(2_000, int(5_000_000 * SF))
+N_URLS = max(2_000, int(10_000_000 * SF))
 N_HOSTS = max(50, N_URLS // 100)
 N_SEEDS = max(200, N_URLS // 20)
 BODY_KB = 48.0
 ROUND_SECONDS = 300.0
-MAX_ROUND_URLS = max(2_000, N_URLS // 4)
+MAX_ROUND_URLS = max(2_000, N_URLS // 5)
 
 OPERATOR_QUERIES = [
     "hash_agg_a1", "join_agg_f6", "window_rank_f2", "dedup_ngram_jaccard",

@@ -35,7 +35,11 @@ def main() -> None:
 
     import os
 
-    extra = {}
+    # AQE's per-stage replanning is ~20 driver round-trips per phase here
+    # (pure serial latency at bench scale); skew is handled by explicit
+    # salting and every join is broadcast, so disable it for the timed
+    # crawl. Real-cluster runs keep the session default (AQE on).
+    extra = {"spark.sql.adaptive.enabled": "false"}
     scratch = os.environ.get("LECTURA_SCRATCH")
     if scratch:  # shuffle/spill on the fast scratch volume (bench: tmpfs)
         local = os.path.join(scratch, f"sparklocal-{os.getpid()}")

@@ -204,7 +204,7 @@ class Crawler:
         # stalls all 32 cores), and the written table doubles as the
         # round's resume artifact (ST8).
         spark.sparkContext.setJobDescription(f"r{rnd}:extract-write")
-        wh.append("text", extract_df.withColumn("round", F.lit(rnd)))
+        text_snap = wh.append("text", extract_df.withColumn("round", F.lit(rnd)))
         spark.sparkContext.setJobDescription(f"r{rnd}:counts")
         extracted = wh.read("text").filter(F.col("round") == rnd).drop("round")
 
@@ -268,8 +268,8 @@ class Crawler:
         # (fetch_log, seen, host_state, lineage, metrics) cost one job
         # latency instead of a serial sum — on a real cluster these are
         # separate Iceberg commits and equally independent.
-        n_extracted = extracted.count()
-        new_seen.count()
+        # extracted row count from parquet footers (no Spark job)
+        n_extracted = wh.count_rows(wh.files_added("text", text_snap))
         mark("materialize")
 
         def w_scheduled():

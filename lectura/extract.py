@@ -17,12 +17,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lectura.pure.enrich import ENRICH_COLS, enrich_text
 from lectura.pure.extract import extract_links, extract_text
 
 EXTRACT_SCHEMA = (
     "url string, depth int, score double, text string, links array<string>, "
-    "n_links int, bytes long"
+    "n_links int, bytes long, " + ENRICH_COLS
 )
+
+
+def _enriched_frame(pdf, texts, links, nbytes, cache):
+    """Assemble one output batch: extraction columns + per-page enrichment
+    (lang/quality/token stats, fingerprint, simhash — pure.enrich)."""
+    import pandas as _pd
+
+    stats = [enrich_text(t, cache) for t in texts]
+    out = {
+        "url": pdf["url"],
+        "depth": pdf["depth"],
+        "score": pdf["score"],
+        "text": texts,
+        "links": links,
+        "n_links": [len(x) for x in links],
+        "bytes": nbytes,
+    }
+    for k in ("n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio",
+              "digit_ratio", "quality", "lang_guess", "fingerprint",
+              "simhash"):
+        out[k] = [s[k] for s in stats]
+    return _pd.DataFrame(out)
 
 
 def extract_pages(fetched: DataFrame, gzipped: bool = False) -> DataFrame:
@@ -37,6 +60,7 @@ def extract_pages(fetched: DataFrame, gzipped: bool = False) -> DataFrame:
     import gzip as _gzip
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
             texts, links, nbytes = [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -46,17 +70,7 @@ def extract_pages(fetched: DataFrame, gzipped: bool = False) -> DataFrame:
                 texts.append(extract_text(b))
                 links.append(extract_links(b, url))
                 nbytes.append(len(b))
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "depth": pdf["depth"],
-                    "score": pdf["score"],
-                    "text": texts,
-                    "links": links,
-                    "n_links": [len(x) for x in links],
-                    "bytes": nbytes,
-                }
-            )
+            yield _enriched_frame(pdf, texts, links, nbytes, cache)
 
     return fetched.select("url", "depth", "score", "html").mapInPandas(
         run, EXTRACT_SCHEMA
@@ -97,6 +111,7 @@ def warc_fetch_extract(fetch_meta: DataFrame, gzipped: bool = True) -> DataFrame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict[str, object] = {}
+        cache: dict = {}
         try:
             for pdf in batches:
                 texts, links, nbytes = [], [], []
@@ -114,17 +129,7 @@ def warc_fetch_extract(fetch_meta: DataFrame, gzipped: bool = True) -> DataFrame
                     texts.append(extract_text(b))
                     links.append(extract_links(b, url))
                     nbytes.append(len(b))
-                yield pd.DataFrame(
-                    {
-                        "url": pdf["url"],
-                        "depth": pdf["depth"],
-                        "score": pdf["score"],
-                        "text": texts,
-                        "links": links,
-                        "n_links": [len(x) for x in links],
-                        "bytes": nbytes,
-                    }
-                )
+                yield _enriched_frame(pdf, texts, links, nbytes, cache)
         finally:
             for fh in handles.values():
                 fh.close()

@@ -34,6 +34,10 @@ _DEFAULTS = {
     # crawl. Force a periodic GC so cleanup keeps pace with the round
     # loop (no-op overhead on a real cluster).
     "spark.cleaner.periodicGC.interval": "15s",
+    # List manifest file sets driver-side (local stat is microseconds);
+    # the default threshold of 32 files turns every accumulated-table read
+    # into a "listing leaf files" Spark job — serial round-loop latency.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
 }
 
 

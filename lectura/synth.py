@@ -179,16 +179,28 @@ def page_html(i: int, p: SynthParams, bounds: list[int]) -> bytes:
     parts.append("</ul>")
     for s in _body_sentences(i, p, rng):
         parts.append(f"<p>{s}</p>")
-    if p.body_kb > 0:  # pad to ~body_kb KB with deterministic prose
+    if p.body_kb > 0:
+        # Pad to ~body_kb KB with MARKUP-heavy blocks (~10-15% text yield,
+        # like real pages — most html bytes are tags/attrs, not copy).
+        # Extraction must chew through all of it; only the small text
+        # fraction survives into the output.
         target = int(p.body_kb * 1024)
         size = sum(len(x) for x in parts)
+        k = 0
         while size < target:
-            s = " ".join(
-                rng.choice(_WORDS) for _ in range(rng.randint(10, 24))
-            ).capitalize()
-            para = f"<p>{s}.</p>"
-            parts.append(para)
-            size += len(para) + 1
+            w1 = rng.choice(_WORDS)
+            w2 = rng.choice(_WORDS)
+            tok = "%08x%08x" % (rng.getrandbits(32), rng.getrandbits(32))
+            blk = (
+                f'<div id="blk-{k}" class="module module--{w1} grid__cell" '
+                f'data-track="{tok}" data-pos="{k}" role="presentation" '
+                f'style="margin:0;padding:0 .5em;border:none">'
+                f'<span class="lbl lbl--{w2}" aria-hidden="false">{w1}</span>'
+                f'<em data-ref="{tok[:8]}">{w2}</em></div>'
+            )
+            parts.append(blk)
+            size += len(blk) + 1
+            k += 1
     parts.append('<a href="mailto:admin@example.com">contact</a>')
     parts.append('<a href="#top">top</a>')
     parts.append("</body></html>")

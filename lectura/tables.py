@@ -63,20 +63,32 @@ class Warehouse:
         with open(self._snap_path(name, snap)) as f:
             return json.load(f)["files"]
 
-    def _commit(self, name: str, files: list[str]) -> int:
+    def _commit(self, name: str, files: list[str],
+                schema_json: str | None = None) -> int:
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         head = self._head(name)
         snap = 0 if head is None else head + 1
+        if schema_json is None and head is not None:
+            schema_json = self._schema_json(name, head)
         tmp = os.path.join(tdir, f".snap-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"snapshot": snap, "files": sorted(files)}, f)
+            json.dump({"snapshot": snap, "files": sorted(files),
+                       "schema": schema_json}, f)
         os.replace(tmp, self._snap_path(name, snap))
         tmp_head = os.path.join(tdir, f".HEAD-{uuid.uuid4().hex}.tmp")
         with open(tmp_head, "w") as f:
             f.write(str(snap))
         os.replace(tmp_head, os.path.join(tdir, "HEAD"))
         return snap
+
+    def _schema_json(self, name: str, snap: int | None = None) -> str | None:
+        if snap is None:
+            snap = self._head(name)
+        if snap is None:
+            return None
+        with open(self._snap_path(name, snap)) as f:
+            return json.load(f).get("schema")
 
     def _write_files(self, name: str, df: DataFrame) -> list[str]:
         """Materialize df as immutable parquet files; return their paths."""
@@ -102,23 +114,50 @@ class Warehouse:
         scale this avoids rewriting a multi-GB corpus just to catalog it."""
         if not files:
             raise ValueError(f"register({name!r}): empty file list")
-        return self._commit(name, [os.path.abspath(f) for f in files])
+        schema = self.spark.read.parquet(files[0]).schema.json()
+        return self._commit(name, [os.path.abspath(f) for f in files], schema)
 
     def append(self, name: str, df: DataFrame) -> int:
         """Atomic append: new snapshot = previous files + new files."""
         files = self._files(name) + self._write_files(name, df)
-        return self._commit(name, files)
+        return self._commit(name, files, df.schema.json())
+
+    def files_added(self, name: str, snap: int) -> list[str]:
+        """Files introduced by snapshot `snap` (vs its predecessor)."""
+        prev = set(self._files(name, snap - 1)) if snap > 0 else set()
+        return [f for f in self._files(name, snap) if f not in prev]
+
+    @staticmethod
+    def count_rows(files: list[str]) -> int:
+        """Row count from parquet footers — a driver-side metadata read,
+        no Spark job (Iceberg's snapshot summary equivalent)."""
+        import pyarrow.parquet as pq
+
+        return sum(pq.read_metadata(f).num_rows for f in files)
 
     def overwrite(self, name: str, df: DataFrame) -> int:
         """Atomic replace: new snapshot = new files only (old data files
         stay on disk so prior snapshots remain readable — Iceberg-style)."""
-        return self._commit(name, self._write_files(name, df))
+        return self._commit(name, self._write_files(name, df),
+                            df.schema.json())
 
     def read(self, name: str, snapshot: int | None = None) -> DataFrame:
-        """Read a snapshot (default HEAD) — ``VERSION AS OF`` equivalent."""
+        """Read a snapshot (default HEAD) — ``VERSION AS OF`` equivalent.
+
+        The manifest carries the table schema (recorded at commit time,
+        like Iceberg metadata), so reads skip Spark's schema-inference /
+        footer-sampling job — those per-read mini-jobs are pure serial
+        latency in the round loop."""
         files = self._files(name, snapshot)
         if not files:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        sj = self._schema_json(name, snapshot)
+        if sj:
+            from pyspark.sql.types import StructType
+
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(sj))
+            ).parquet(*files)
         return self.spark.read.parquet(*files)
 
     def rollback(self, name: str, snapshot: int) -> None:
