@@ -166,7 +166,7 @@ def main() -> None:
     queries.update(qtimes)
     result = {
         "metric": "crawl_3rounds_wall_sec_local%d" % CPUS,
-        "value": round(t_big, 3),
+        "value": round(big["crawl_sec"], 3),
         "unit": "sec",
         "queries": queries,
         "sf": SF,
