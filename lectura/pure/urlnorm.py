@@ -133,10 +133,14 @@ def _canonicalize_uncached(url: str) -> str | None:
     if scheme not in ("http", "https"):
         return None
     host = (parts.hostname or "").lower()
+    # Reject hosts with empty DNS labels (leading ".", any ".."): not
+    # resolvable reg-names — checked BEFORE the trailing-root-dot strip so
+    # the strip stays idempotent (hypothesis-found: "http://../" and
+    # "http://0../" both produced forms that re-canonicalized differently)
+    if not host or host.startswith(".") or ".." in host:
+        return None
     if host.endswith("."):
         host = host[:-1]
-    if not host:
-        return None
     try:
         port = parts.port  # raises ValueError on non-numeric
     except ValueError:
