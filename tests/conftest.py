@@ -3,6 +3,18 @@ import sys
 
 import pytest
 
+try:
+    # Deterministic hypothesis runs for the driver's verify gate: the
+    # property tests explored fresh corners every run (good in dev — two
+    # real canonicalization bugs were found that way); a verification
+    # gate should be reproducible.
+    from hypothesis import settings
+
+    settings.register_profile("ci", derandomize=True)
+    settings.load_profile("ci")
+except ImportError:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lectura.config import CrawlConfig  # noqa: E402
