@@ -75,7 +75,7 @@ def _scratch_root() -> str:
 
 def _worker_env(scratch: str) -> dict:
     env = dict(os.environ)
-    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 48g pyspark-shell"
+    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 16g pyspark-shell"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["LECTURA_SCRATCH"] = scratch
     return env
@@ -106,7 +106,7 @@ def main() -> None:
     corpus_dir = os.path.join(scratch, "corpus")
 
     # --- corpus generation (parallel, deterministic; not timed as crawl) ---
-    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
     from pyspark.sql import functions as F
 
     from lectura.config import CrawlConfig
