@@ -4,7 +4,7 @@ north-rule scaling evidence (same job at local[N/4] vs local[N]; the
 sandbox stand-in for N vs 4N executors — BASELINE.md).
 
 Corpus: deterministic Common-Crawl-style pages at realistic page weight
-(~12 KB html) with Zipf-skewed hosts, generated in parallel on the fast
+(~48 KB html) with Zipf-skewed hosts, generated in parallel on the fast
 scratch volume (tmpfs when available) and adopted zero-copy by the crawl
 warehouse. The crawl itself (schedule → fetch-join → extract → write) is
 what is timed; corpus generation is reported separately.
@@ -46,8 +46,9 @@ ROUNDS = 3
 # small level is ~4x slower by construction); both levels run the SAME job
 SCALE_ROUNDS = 2
 
-# corpus scales with sf: sf0.1 → 500k URLs × ~12 KB html ≈ 6 GB corpus,
-# ~225k URLs scheduled+extracted over 3 rounds (SURVEY.md §6)
+# corpus scales with sf: sf0.1 → 10^6 URLs × ~48 KB html ≈ 46 GB raw html
+# (gzip WARC packfiles on disk), ~273k URLs scheduled+extracted over 3
+# rounds (BENCH/BASELINE.md)
 _m = re.search(r"sf([0-9.]+)", SF_DIR)
 SF = float(_m.group(1)) if _m else 0.1
 N_URLS = max(2_000, int(10_000_000 * SF))
@@ -148,7 +149,14 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # --- headline run + the N->4N scaling pair (fresh JVM each) ------------
+    # --- headline run + the N->4N scaling pairs (fresh JVM each) -----------
+    # Two pairs are measured and BOTH are reported (ADVICE r1): the
+    # undersubscribed pair N -> 4N (pipeline scaling isolated from the VM)
+    # and the saturated pair CPUS/4 -> CPUS (top end time-shares all
+    # vCPUs with ~2 procs/slot, so it includes hypervisor steal — the
+    # measured pure-CPU-spin ceiling for that regime is ~0.86; see
+    # BENCH/BASELINE.md). The gate value remains the undersubscribed
+    # pair; the saturated one is disclosed machine-readably alongside.
     big = run_crawl(f"local[{CPUS}]", corpus_dir,
                     os.path.join(scratch, "wh_big"), scratch)
     sc_big = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
@@ -157,10 +165,17 @@ def main() -> None:
     sc_small = run_crawl(f"local[{SCALE_N}]", corpus_dir,
                          os.path.join(scratch, "wh_scn"), scratch,
                          rounds=SCALE_ROUNDS)
+    sat_small = run_crawl(f"local[{max(2, CPUS // 4)}]", corpus_dir,
+                          os.path.join(scratch, "wh_satn"), scratch,
+                          rounds=SCALE_ROUNDS)
+    sat_big = run_crawl(f"local[{CPUS}]", corpus_dir,
+                        os.path.join(scratch, "wh_sat4n"), scratch,
+                        rounds=SCALE_ROUNDS)
     shutil.rmtree(scratch, ignore_errors=True)
 
     t_small, t_big = sc_small["crawl_sec"], sc_big["crawl_sec"]
     efficiency = round((t_small / t_big) / 4, 3)
+    sat_eff = round((sat_small["crawl_sec"] / sat_big["crawl_sec"]) / 4, 3)
 
     queries = dict(big["rounds"])
     queries.update(qtimes)
@@ -187,6 +202,21 @@ def main() -> None:
             "scale_rounds": SCALE_ROUNDS,
             "note": "N->4N with 4N*2 runnable procs <= machine cores; "
                     "full ladder + VM steal ceiling in BENCH/BASELINE.md",
+            "saturated_pair": {
+                "small_master": f"local[{max(2, CPUS // 4)}]",
+                "big_master": f"local[{CPUS}]",
+                "t_small_sec": sat_small["crawl_sec"],
+                "t_big_sec": sat_big["crawl_sec"],
+                "efficiency": sat_eff,
+                "cpu_spin_ceiling_8to32": 0.86,
+                "efficiency_normalized_by_ceiling": round(
+                    min(1.0, sat_eff / 0.86), 3
+                ),
+                "note": "top end time-shares all vCPUs (~2 runnable "
+                        "procs/slot): includes hypervisor steal; "
+                        "disclosed alongside the gate pair, not in "
+                        "place of it",
+            },
         },
         "gen_sec": gen_sec,
         "total_bench_sec": round(time.time() - t_all, 1),

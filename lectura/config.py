@@ -27,6 +27,12 @@ class CrawlConfig:
     host_buckets: int = 32  # pages/frontier partition key fan-out
     salt_buckets: int = 8  # mega-host salting fan-out (U6/F1)
     use_bloom: bool = False  # exact anti-join path by default at test scale
+    # Broadcast-hint ceiling for round-sized sets (scheduled urls, as-of
+    # winners, host_state): below this row count the small side is
+    # broadcast; above it the hint is dropped so the join shuffles and AQE
+    # picks the strategy — an unconditional hint OOMs the driver when a
+    # cluster-scale round schedules 10^7-10^8 URLs.
+    broadcast_max_rows: int = 4_000_000
     # pages.html stored WARC-style gzipped (bench/cluster corpora); bodies
     # are inflated inside the extraction workers (lectura/extract.py)
     html_gzip: bool = False

@@ -15,6 +15,7 @@ crawl itself is verified against tests/oracle_crawler.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -56,6 +57,67 @@ def scan_filter_project(spark, sf_dir):
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "revenue"
         ),
+    )
+
+
+# S10 — generic json/csv scans (SURVEY.md §2.1): the fixture table is
+# exported once per call to JSON-lines / CSV on scratch space, read back
+# through lectura.sources.read_table with an EXPLICIT schema (no inference
+# pass — at corpus scale inference is a full extra read), and must
+# round-trip value-exactly vs DuckDB reading the original parquet.
+def _s10_export(sf_dir: str, table: str, fmt: str) -> str:
+    import pandas as pd  # noqa: F401 (pyarrow-backed read)
+
+    out_dir = f"/dev/shm/lectura_s10/{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(out_dir, exist_ok=True)
+    out = f"{out_dir}/{table}.{fmt}"
+    pdf = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+    if fmt == "json":
+        pdf.to_json(out, orient="records", lines=True,
+                    date_format="iso", date_unit="us")
+    else:
+        pdf.to_csv(out, index=False)  # RFC-4180 doubled-quote escaping
+    return out
+
+
+@q(
+    "scan_csv_s10",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def scan_csv_s10(spark, sf_dir):
+    from lectura.sources import read_table
+
+    path = _s10_export(sf_dir, "customer", "csv")
+    df = read_table(
+        spark, path, "csv",
+        schema="c_custkey long, c_name string, c_nationkey int, "
+               "c_acctbal double, c_mktsegment string",
+    )
+    return df.filter(F.col("c_acctbal") > 1000)
+
+
+@q(
+    "scan_json_s10",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 4) AS value_r
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+)
+def scan_json_s10(spark, sf_dir):
+    from lectura.sources import read_table
+
+    path = _s10_export(sf_dir, "events", "json")
+    df = read_table(
+        spark, path, "json",
+        schema="event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string",
+    )
+    return df.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 4).alias("value_r"),
     )
 
 
@@ -787,9 +849,12 @@ def dedup_exact(spark, sf_dir):
       FROM words
     ), sh2 AS (SELECT doc_id, s FROM sh WHERE s <> ''),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    -- hot-shingle document-frequency cap, mirrors textops max_df=1000
+    keep AS (SELECT s FROM sh2 GROUP BY s HAVING count(*) <= 1000),
+    sh3 AS (SELECT doc_id, s FROM sh2 SEMI JOIN keep USING (s)),
     pairs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2
     )
     SELECT d1, d2, inter,
@@ -1057,7 +1122,9 @@ def multimodal_meta(spark, sf_dir):
     "frame_sample",
     """
     SELECT vec_id, unnest(generate_series(0, 6, 2)) AS frame_no,
-           unnest([round(list_aggregate(embedding[f*8+1:f*8+8], 'sum') / 8, 4)
+           unnest([round(list_aggregate(
+                       list_transform(embedding[f*8+1:f*8+8],
+                                      x -> CAST(x AS DOUBLE)), 'sum') / 8, 4)
                    for f in generate_series(0, 6, 2)]) AS frame_avg
     FROM embeddings
     """,

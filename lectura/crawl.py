@@ -27,12 +27,121 @@ from lectura.extract import extract_pages, warc_fetch_extract
 from lectura.frontier import dedupe_frontier, rank_per_host, schedule, with_budget
 from lectura.metrics import fetch_metrics, partition_lineage
 from lectura.robots import apply_robots, build_rule_table, host_delay_table
-from lectura.seen import anti_join_seen, bloom_build, bloom_merge, bloom_probe
+from lectura.seen import (
+    anti_join_seen, bloom_build, bloom_merge, bloom_probe, shard_stats,
+)
 from lectura.tables import Warehouse
 from lectura.urlnorm import host_bucket, with_url_norm
 
 STATE_TABLES = ["frontier", "scheduled", "seen", "seen_shards", "host_state",
-                "text", "fetch_log", "lineage", "metrics"]
+                "text", "fetch_log", "lineage", "metrics", "bloom_stats"]
+
+
+def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
+                 seen: DataFrame, new_seen: DataFrame) -> list:
+    """Build this round's bloom shards, OR-merge into `seen_shards`, record
+    per-shard health in `bloom_stats`, and resize on saturation.
+
+    Saturation guard (VERDICT r1 #4): m/k are sized once from capacity;
+    once cumulative inserts exceed it the configured FPP bound (B:6) no
+    longer holds — FPP degrades silently on a long crawl. On saturation
+    the filter is rebuilt from the exact seen set (always maintained
+    alongside it) at ≥2× the observed load. The stats scan is n_shards
+    rows. Returns the collected stats rows."""
+    cap = max(1024, cfg.seen_capacity // cfg.n_shards)
+    new_shards = bloom_build(new_seen.select("url"), cfg.n_shards, cap,
+                             cfg.fpp)
+    if wh.exists("seen_shards"):
+        merged = bloom_merge(wh.read("seen_shards").unionByName(new_shards))
+        wh.overwrite("seen_shards", merged)
+    else:
+        wh.overwrite("seen_shards", new_shards)
+    stats = shard_stats(wh.read("seen_shards")).collect()
+    wh.append(
+        "bloom_stats",
+        spark.createDataFrame(
+            [(rnd, r["shard_id"], r["n_inserted"], r["capacity"],
+              float(r["fpp_est"]), bool(r["saturated"]))
+             for r in stats],
+            "round int, shard_id int, n_inserted long, "
+            "capacity long, fpp_est double, saturated boolean",
+        ).coalesce(1),
+    )
+    if any(r["saturated"] for r in stats):
+        new_cap = 2 * max(max(r["n_inserted"] for r in stats), cap)
+        all_seen = seen.select("url").unionByName(new_seen.select("url"))
+        wh.overwrite(
+            "seen_shards",
+            bloom_build(all_seen, cfg.n_shards, new_cap, cfg.fpp),
+        )
+    return stats
+
+
+def asof_fetch(pages: DataFrame, scheduled: DataFrame, round_ts, cfg,
+               n_scheduled: int, n_extract_parts: int):
+    """As-of fetch join (F6/F7), late-materialized. Returns
+    ``(fetch_df, is_warc)`` — the pre-extraction DataFrame plus whether it
+    carries WARC pointers (ranged-read path) or inline html.
+
+    Plan shape (asserted by tests/test_plans.py): pick each url's winning
+    capture on a SLIM scan (url, warc_ts, capture id — a few MB through the
+    shuffle), then join the winners back into the wide scan so MB-scale
+    html never enters an Exchange — at corpus scale the html shuffle, not
+    the join, is the bottleneck. `pages` arrives host_bucket-pruned.
+
+    Broadcast-hint gate (CrawlConfig.broadcast_max_rows): the scheduled /
+    winner sets are all ≤ n_scheduled rows; hint only when that is provably
+    small, else let the join shuffle and AQE pick the strategy — an
+    unconditional hint OOMs the driver on a 10^7-row cluster-scale round.
+
+    Capture identity: two captures of a url may legally share warc_ts;
+    without a unique tiebreak in both the window ORDER BY and the join-back
+    keys, the join-back would emit BOTH tied captures (duplicate extracted
+    rows — ADVICE r1). File path + parquet row index uniquely identify a
+    physical row, are stable across the slim and wide scans of the same
+    snapshot, and make the pick deterministic: the tied capture latest in
+    file order wins (matches the pure oracle's caps[-1] under its
+    sorted-file read order — SEMANTICS.md §6)."""
+    bc = (F.broadcast if n_scheduled <= cfg.broadcast_max_rows
+          else (lambda df: df))
+    cap_cols = [
+        F.col("_metadata.file_path").alias("_cap_f"),
+        F.col("_metadata.row_index").alias("_cap_i"),
+    ]
+    cap_keys = ["url", "warc_ts", "_cap_f", "_cap_i"]
+    sched_slim = scheduled.select("url", "depth", "score")
+    slim = (
+        pages.select("url", "warc_ts", *cap_cols)
+        .filter(F.col("warc_ts") <= F.lit(round_ts))
+        .join(bc(scheduled.select("url")), "url")
+    )
+    w_asof = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("_cap_f"), F.desc("_cap_i")
+    )
+    winners = (
+        slim.withColumn("_rn", F.row_number().over(w_asof))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Redistribute the ≤max_round_urls fetched rows round-robin before
+    # extraction: hosts are contiguous in corpus files, so matched pages
+    # cluster in few scan partitions (a mega-host → one straggler
+    # extractor) — and slim/WARC-gzipped rows make this shuffle cheap.
+    if "warc_file" in pages.columns:
+        # WARC corpus (S1b): bodies live in packfiles; fetch+extract is
+        # one fused Python pass doing ranged reads — page bytes never
+        # enter the JVM (see extract.warc_fetch_extract).
+        fetch_meta = pages.select(
+            "url", "warc_ts", "warc_file", "warc_offset", "warc_len",
+            *cap_cols
+        ).join(bc(winners), cap_keys).drop("_cap_f", "_cap_i").join(
+            bc(sched_slim), "url"
+        )
+        return fetch_meta.repartition(n_extract_parts), True
+    latest = pages.select("url", "warc_ts", "html", *cap_cols).join(
+        bc(winners), cap_keys
+    ).drop("_cap_f", "_cap_i").join(bc(sched_slim), "url")
+    return latest.repartition(n_extract_parts), False
 
 
 class Crawler:
@@ -57,17 +166,27 @@ class Crawler:
         host_bucket shuffle (only 32 distinct keys → hash collisions +
         mega-host straggler) is the worst shuffle in the pipeline."""
         cfg = self.cfg
-        if pages_files is not None:
-            self.wh.register("pages", pages_files)
-        elif "host_bucket" in pages.columns:
-            self.wh.overwrite("pages", pages)
-        else:
-            pages_keyed = pages.withColumn(
+
+        def rekey(df: DataFrame) -> DataFrame:
+            return df.drop("host_bucket").withColumn(
                 "host_bucket",
                 host_bucket(F.lower(F.expr("parse_url(url, 'HOST')")),
                             cfg.host_buckets),
             ).repartition(cfg.host_buckets, "host_bucket")
-            self.wh.overwrite("pages", pages_keyed)
+
+        if pages_files is not None:
+            self.wh.register("pages", pages_files)
+            if "host_bucket" in pages.columns and not self._buckets_ok():
+                # The adopted corpus was bucketed with a different fan-out/
+                # hash than cfg.host_buckets: the per-round bucket pruning
+                # filter would silently drop scheduled pages (fetches
+                # become misses with no error — ADVICE r1). Fall back to
+                # the re-keyed rewrite.
+                self.wh.overwrite("pages", rekey(self.wh.read("pages")))
+        elif "host_bucket" in pages.columns:
+            self.wh.overwrite("pages", pages)
+        else:
+            self.wh.overwrite("pages", rekey(pages))
         self.wh.overwrite("robots", robots)
         rules = build_rule_table(self.wh.read("robots"), cfg.agent)
         self.wh.overwrite("rules", rules)
@@ -90,6 +209,20 @@ class Crawler:
         empty_state = self.spark.createDataFrame([], "host string, last_round int")
         self.wh.overwrite("host_state", empty_state)
         self.log.commit(0, self._snapshots(), {"round": 0})
+
+    def _buckets_ok(self, sample: int = 2000) -> bool:
+        """Verify (on a bounded sample) that the adopted corpus's recorded
+        host_bucket matches this config's hash + fan-out. Data-derived —
+        no reliance on sidecar metadata being kept in sync."""
+        expected = host_bucket(
+            F.lower(F.expr("parse_url(url, 'HOST')")), self.cfg.host_buckets
+        )
+        mismatches = (
+            self.wh.read("pages").select("url", "host_bucket").limit(sample)
+            .filter(F.col("host_bucket") != expected)
+            .count()
+        )
+        return mismatches == 0
 
     def _snapshots(self) -> dict[str, int | None]:
         snaps: dict[str, int | None] = {}
@@ -114,7 +247,16 @@ class Crawler:
         frontier = wh.read("frontier").filter(F.col("for_round") == rnd)
         seen = wh.read("seen")
         rules = wh.read("rules")
-        host_state = wh.read("host_state")
+        # host_state is stored as (host, last_round) deltas appended per
+        # round (no full-table rewrite); the current state is the max-merge
+        # over the delta chain. Footer row count (driver metadata read, no
+        # job) upper-bounds its size for the broadcast-hint gate.
+        host_state = (
+            wh.read("host_state")
+            .groupBy("host")
+            .agg(F.max("last_round").alias("last_round"))
+        )
+        hs_small = wh.approx_rows("host_state") <= cfg.broadcast_max_rows
 
         # candidate set: dedupe, drop seen
         cand = dedupe_frontier(frontier.drop("for_round"))
@@ -135,8 +277,9 @@ class Crawler:
 
         # politeness + ranking + global deterministic cap
         budgeted = with_budget(allowed, host_delay_table(rules), host_state,
-                               cfg, rnd)
-        ranked = rank_per_host(budgeted, cfg.salt_buckets)
+                               cfg, rnd, broadcast_hint=hs_small)
+        ranked = rank_per_host(budgeted, cfg.salt_buckets,
+                               max_rank=cfg.max_per_host)
         scheduled = schedule(ranked, cfg).select(
             "sched_rank", "url", "host", "hrk", "path_q", "depth", "score"
         ).cache()
@@ -148,55 +291,21 @@ class Crawler:
         n_scheduled = sum(r["count"] for r in bucket_counts)
         mark("schedule")
 
-        # as-of fetch join (F6/F7), late-materialized: pick each url's
-        # winning capture on a SLIM scan (url, warc_ts only — WindowGroupLimit
-        # top-1, a few MB through the shuffle), then broadcast the winners
-        # back into the wide scan so MB-scale html is never shuffled — at
-        # corpus scale the html exchange, not the join, is the bottleneck.
-        # Both scans prune by host_bucket partitions first.
         pages = wh.read("pages")
-        sched_slim = scheduled.select("url", "depth", "score")
         if n_scheduled and "host_bucket" in pages.columns:
             buckets = [r["hb"] for r in bucket_counts]
             pages = pages.filter(F.col("host_bucket").isin(buckets))
-        slim = (
-            pages.select("url", "warc_ts")
-            .filter(F.col("warc_ts") <= F.lit(round_ts))
-            .join(F.broadcast(scheduled.select("url")), "url")
-        )
-        w_asof = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-        winners = (
-            slim.withColumn("_rn", F.row_number().over(w_asof))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # Redistribute the ≤max_round_urls fetched rows round-robin before
-        # extraction: hosts are contiguous in corpus files, so matched pages
-        # cluster in few scan partitions (a mega-host → one straggler
-        # extractor) — and slim/WARC-gzipped rows make this shuffle cheap.
         n_extract_parts = max(
             64, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
         )
-        if "warc_file" in pages.columns:
-            # WARC corpus (S1b): bodies live in packfiles; fetch+extract is
-            # one fused Python pass doing ranged reads — page bytes never
-            # enter the JVM (see extract.warc_fetch_extract).
-            fetch_meta = pages.select(
-                "url", "warc_ts", "warc_file", "warc_offset", "warc_len"
-            ).join(F.broadcast(winners), ["url", "warc_ts"]).join(
-                F.broadcast(sched_slim), "url"
-            )
-            extract_df = warc_fetch_extract(
-                fetch_meta.repartition(n_extract_parts)
-            )
+        fetch_df, is_warc = asof_fetch(
+            pages, scheduled, round_ts, cfg, n_scheduled, n_extract_parts
+        )
+        if is_warc:
+            extract_df = warc_fetch_extract(fetch_df)
         else:
-            latest = pages.select("url", "warc_ts", "html").join(
-                F.broadcast(winners), ["url", "warc_ts"]
-            ).join(F.broadcast(sched_slim), "url")
             # Fused extraction (X4) — html crosses to Python exactly once.
-            extract_df = extract_pages(
-                latest.repartition(n_extract_parts), gzipped=cfg.html_gzip
-            )
+            extract_df = extract_pages(fetch_df, gzipped=cfg.html_gzip)
         # Materialize the extraction ONCE as the text sink itself (S7) and
         # re-read it (column-pruned parquet, round pruned by row-group
         # stats) for every downstream consumer — text+links never sit in a
@@ -293,27 +402,27 @@ class Crawler:
         def w_bloom():
             if not cfg.use_bloom:
                 return
-            new_shards = bloom_build(
-                new_seen, cfg.n_shards,
-                max(1024, cfg.seen_capacity // cfg.n_shards), cfg.fpp
-            )
-            if wh.exists("seen_shards"):
-                merged = bloom_merge(
-                    wh.read("seen_shards").unionByName(new_shards)
-                )
-                wh.overwrite("seen_shards", merged)
-            else:
-                wh.overwrite("seen_shards", new_shards)
+            commit_bloom(wh, spark, cfg, rnd, seen, new_seen)
 
         def w_host_state():
+            # Delta append + max-merge on read (see run_round's host_state
+            # read): host_state grows with total distinct hosts, so a
+            # merged coalesce(1) rewrite per round is a serial single-task
+            # full-table write at 10^8 hosts. The delta is bounded by the
+            # round's scheduled hosts. Compact the delta chain once it gets
+            # long — a distributed hash-partitioned rewrite, no coalesce(1).
             touched = scheduled.select(
                 "host", F.lit(rnd).alias("last_round")
             ).distinct()
-            new_state = (
-                wh.read("host_state").unionByName(touched)
-                .groupBy("host").agg(F.max("last_round").alias("last_round"))
-            )
-            wh.overwrite("host_state", new_state.coalesce(1))
+            wh.append("host_state", touched.coalesce(4))
+            if len(wh._files("host_state")) > 64:
+                merged = (
+                    wh.read("host_state")
+                    .groupBy("host").agg(F.max("last_round").alias("last_round"))
+                )
+                wh.overwrite(
+                    "host_state", merged.repartition(cfg.host_buckets, "host")
+                )
 
         def w_lineage():
             wh.append(

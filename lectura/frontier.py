@@ -36,12 +36,18 @@ def dedupe_frontier(df: DataFrame) -> DataFrame:
 
 
 def with_budget(cand: DataFrame, host_delay: DataFrame, host_state: DataFrame,
-                cfg: CrawlConfig, round_no: int) -> DataFrame:
+                cfg: CrawlConfig, round_no: int,
+                broadcast_hint: bool = True) -> DataFrame:
     """Join per-host delay (robots R4) + last-fetched round (F4) and compute
-    the politeness budget exactly as CrawlConfig.budget does in Python."""
+    the politeness budget exactly as CrawlConfig.budget does in Python.
+
+    `broadcast_hint=False` drops the broadcast hints (caller knows the
+    per-host tables are too large — e.g. 10^8 distinct hosts) and lets AQE
+    pick the join strategy."""
+    hint = F.broadcast if broadcast_hint else (lambda df: df)
     j = (
-        cand.join(F.broadcast(host_delay), "host", "left")
-        .join(F.broadcast(host_state), "host", "left")
+        cand.join(hint(host_delay), "host", "left")
+        .join(hint(host_state), "host", "left")
     )
     d = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))
     d = F.when(d <= 0, F.lit(cfg.default_delay)).otherwise(d)
@@ -58,7 +64,8 @@ def with_budget(cand: DataFrame, host_delay: DataFrame, host_state: DataFrame,
     ).drop("crawl_delay", "last_round")
 
 
-def rank_per_host(cand_budgeted: DataFrame, salt_buckets: int) -> DataFrame:
+def rank_per_host(cand_budgeted: DataFrame, salt_buckets: int,
+                  max_rank: int | None = None) -> DataFrame:
     """F1+F2: two-phase salted per-host ranking.
 
     Phase 1 ranks within (host, salt) — the salt spreads a mega-host over
@@ -67,17 +74,32 @@ def rank_per_host(cand_budgeted: DataFrame, salt_buckets: int) -> DataFrame:
     top-budgets). Phase 2 ranks the ≤ salt_buckets×budget survivors per
     host. The salt never appears in an ORDER BY, so results are
     parallelism-invariant (SEMANTICS.md §4).
+
+    `max_rank` (= cfg.max_per_host, the static ceiling on every per-host
+    budget) adds a redundant LITERAL bound to the rank filters. The
+    semantics are unchanged (budget ≤ max_per_host always), but Catalyst's
+    InferWindowGroupLimit only fires on `row_number() <= literal` — with
+    the literal conjunct both phases plan as WindowGroupLimit (per-group
+    top-k maintained inside the sort) instead of a full sort + rank of
+    every candidate. On a mega-host with 10^6 candidate urls that is the
+    difference between sorting 10^6 rows and keeping a k-row heap.
     """
     order = [F.desc("score"), F.asc("depth"), F.asc("url")]
     w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+    keep_local = F.col("_lr") <= F.col("budget")
+    if max_rank is not None:
+        keep_local = (F.col("_lr") <= F.lit(max_rank)) & keep_local
     pruned = (
         cand_budgeted.withColumn("_salt", salt("url", salt_buckets))
         .withColumn("_lr", F.row_number().over(w_local))
-        .filter(F.col("_lr") <= F.col("budget"))
+        .filter(keep_local)
         .drop("_salt", "_lr")
     )
     w_host = Window.partitionBy("host").orderBy(*order)
-    return pruned.withColumn("host_rank", F.row_number().over(w_host))
+    ranked = pruned.withColumn("host_rank", F.row_number().over(w_host))
+    if max_rank is not None:
+        ranked = ranked.filter(F.col("host_rank") <= F.lit(max_rank))
+    return ranked
 
 
 def schedule(cand_budgeted: DataFrame, cfg: CrawlConfig) -> DataFrame:

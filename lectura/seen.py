@@ -22,7 +22,10 @@ from pyspark.sql import types as T
 
 from lectura.pure import bloomcore
 
-SHARD_SCHEMA = "shard_id int, bits binary, n_inserted long, m_bits long, k int"
+SHARD_SCHEMA = (
+    "shard_id int, bits binary, n_inserted long, m_bits long, k int, "
+    "capacity long"
+)
 
 
 def with_shard(df: DataFrame, n_shards: int, url_col: str = "url") -> DataFrame:
@@ -47,6 +50,7 @@ def bloom_build(urls: DataFrame, n_shards: int, capacity_per_shard: int,
                 "n_inserted": [len(h)],
                 "m_bits": [m_bits],
                 "k": [k],
+                "capacity": [capacity_per_shard],
             }
         )
 
@@ -67,10 +71,30 @@ def bloom_merge(shards: DataFrame) -> DataFrame:
                 "n_inserted": [int(pdf["n_inserted"].sum())],
                 "m_bits": [m_bits],
                 "k": [int(pdf["k"].iloc[0])],
+                "capacity": [int(pdf["capacity"].max())],
             }
         )
 
     return shards.groupBy("shard_id").applyInPandas(merge_shard, SHARD_SCHEMA)
+
+
+def shard_stats(shards: DataFrame) -> DataFrame:
+    """Per-shard health: estimated FPP from the standard Bloom formula
+    (1 - e^(-k*n/m))^k plus a saturation flag. n_inserted counts attempted
+    inserts (upper bound on distinct keys), so fpp_est is conservative.
+    The configured FPP bound (B:6) holds only while n ≤ capacity — a crawl
+    that outlives its sizing must detect this (VERDICT r1 #4) rather than
+    let the filter silently degrade into an accept-nothing sieve."""
+    n = F.col("n_inserted").cast("double")
+    m = F.col("m_bits").cast("double")
+    k = F.col("k").cast("double")
+    return shards.select(
+        "shard_id",
+        "n_inserted",
+        "capacity",
+        F.pow(F.lit(1.0) - F.exp(-k * n / m), k).alias("fpp_est"),
+        (F.col("n_inserted") > F.col("capacity")).alias("saturated"),
+    )
 
 
 def bloom_probe(cand: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:

@@ -127,6 +127,12 @@ class Warehouse:
         prev = set(self._files(name, snap - 1)) if snap > 0 else set()
         return [f for f in self._files(name, snap) if f not in prev]
 
+    def approx_rows(self, name: str) -> int:
+        """Upper-bound row count for a table from parquet footers only
+        (delta-append tables may count superseded rows twice) — a
+        driver-side metadata read used to gate broadcast hints."""
+        return self.count_rows(self._files(name))
+
     @staticmethod
     def count_rows(files: list[str]) -> int:
         """Row count from parquet footers — a driver-side metadata read,
@@ -148,16 +154,24 @@ class Warehouse:
         like Iceberg metadata), so reads skip Spark's schema-inference /
         footer-sampling job — those per-read mini-jobs are pure serial
         latency in the round loop."""
-        files = self._files(name, snapshot)
-        if not files:
+        if self._head(name) is None:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        files = self._files(name, snapshot)
         sj = self._schema_json(name, snapshot)
         if sj:
             from pyspark.sql.types import StructType
 
-            return self.spark.read.schema(
-                StructType.fromJson(json.loads(sj))
-            ).parquet(*files)
+            schema = StructType.fromJson(json.loads(sj))
+            if not files:
+                # a committed-but-empty snapshot (e.g. a round that
+                # extracted zero pages) reads as an empty DataFrame with
+                # the manifest schema, not an error
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*files)
+        if not files:
+            raise FileNotFoundError(
+                f"table {name!r}: empty snapshot with no recorded schema"
+            )
         return self.spark.read.parquet(*files)
 
     def rollback(self, name: str, snapshot: int) -> None:

@@ -45,11 +45,25 @@ def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, min_jaccard: float = 0.0,
-                        min_inter: int = 2) -> DataFrame:
+                        min_inter: int = 2, max_df: int = 1000) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard via inverted shingle index
-    (the scalable alternative to an all-pairs cross join)."""
+    (the scalable alternative to an all-pairs cross join).
+
+    `max_df` caps the document frequency of a shingle admitted to the
+    self-join: a stop-shingle present in d documents otherwise produces
+    d² candidate rows (the classic inverted-index blowup — CCNet-style
+    pruning). Dropping those shingles slightly undercounts `inter` for
+    pairs that share them; Jaccard still uses the full shingle-set sizes,
+    so the estimate is conservative. Pass max_df=None for exact."""
     sh = word_ngrams(df, n=n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -139,14 +153,16 @@ def minhash_lsh_pairs(df: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
     )
 
 
+def _simhash_signed(s: str) -> int:
+    # signed view of the unsigned 64-bit simhash (Spark long); single
+    # evaluation per row (the old conditional expression hashed twice)
+    h = simhash64(s)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    # signed view of the unsigned 64-bit simhash (Spark long)
-    return text.map(
-        lambda s: simhash64(s) - (1 << 64) if simhash64(s) >= (1 << 63)
-        else simhash64(s),
-        na_action="ignore",
-    )
+    return text.map(_simhash_signed, na_action="ignore")
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 8,

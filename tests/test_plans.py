@@ -1,0 +1,160 @@
+"""Physical-plan regression tests (VERDICT r1 #7): the efficient plan
+shapes documented in PLANS.md are asserted here so they cannot silently
+rot — a reorder that shuffles html, de-broadcasts the rules join, or
+turns the global cap back into a full sort fails these tests.
+
+Checked via `explain("formatted")` text: operator presence
+(BroadcastHashJoin / TakeOrderedAndProject / WindowGroupLimit) and, for
+the fetch join, that no width-changing Exchange carries the html column."""
+
+import contextlib
+import io
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lectura.config import CrawlConfig
+from lectura.crawl import asof_fetch
+from lectura.frontier import rank_per_host, schedule
+from lectura.robots import apply_robots
+from lectura.tables import Warehouse
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def exchange_inputs(plan: str) -> list[str]:
+    """The `Input [n]: [...]` line of every Exchange block in a formatted
+    plan — the columns that physically cross that shuffle."""
+    out = []
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Exchange") or block.startswith(
+            "AQEShuffleRead"
+        ):
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+            if m:
+                out.append(m.group(1))
+    return out
+
+
+def _cand(spark, n=200):
+    rows = [
+        {"url": f"http://h{i % 7}.example/p{i}", "host": f"h{i % 7}.example",
+         "hrk": f"example.h{i % 7}/p{i}", "path_q": f"/p{i}",
+         "depth": i % 3, "score": 1.0 / (1 + i), "budget": 5}
+        for i in range(n)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_rank_per_host_uses_window_group_limit(spark):
+    """The two-phase salted rank must plan as WindowGroupLimit (rank
+    filter pushed into the sort) twice — once per phase — not as full
+    per-partition sorts."""
+    plan = plan_of(rank_per_host(_cand(spark), salt_buckets=4, max_rank=5))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_schedule_plans_take_ordered(spark):
+    """The global deterministic cap must plan as TakeOrderedAndProject
+    (distributed top-k: per-partition heads + merge), never a total sort
+    of the full candidate set."""
+    ranked = rank_per_host(_cand(spark), salt_buckets=4)
+    plan = plan_of(schedule(ranked, CrawlConfig(max_round_urls=50)))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_apply_robots_broadcasts_rules(spark):
+    rules = spark.createDataFrame(
+        pd.DataFrame([
+            {"host": "h0.example", "rule_type": "disallow", "pattern": "/x",
+             "regex": "^/x", "priority": 2, "crawl_delay": 1.0},
+        ])
+    )
+    plan = plan_of(apply_robots(_cand(spark), rules))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def _pages_table(spark, tmp_path, warc: bool):
+    rows = []
+    for i in range(100):
+        r = {"url": f"http://h{i % 7}.example/p{i}",
+             "warc_ts": pd.Timestamp("2025-06-01") + pd.Timedelta(hours=i),
+             "host_bucket": i % 4}
+        if warc:
+            r.update(warc_file="/dev/null", warc_offset=i * 100, warc_len=90)
+        else:
+            r.update(html=b"<html><body>hi</body></html>")
+        rows.append(r)
+    wh = Warehouse(str(tmp_path / ("whw" if warc else "whh")), spark)
+    wh.overwrite("pages", spark.createDataFrame(pd.DataFrame(rows)))
+    return wh.read("pages")
+
+
+def _sched(spark):
+    return spark.createDataFrame(pd.DataFrame([
+        {"url": f"http://h{i % 7}.example/p{i}", "depth": 0, "score": 1.0}
+        for i in range(50)
+    ]))
+
+
+def test_warc_fetch_plan_no_wide_exchange_and_broadcasts(spark, tmp_path):
+    """WARC path: every Exchange moves only slim pointer columns; the
+    winner/scheduled joins are broadcast when under the gate."""
+    pages = _pages_table(spark, tmp_path, warc=True)
+    df, is_warc = asof_fetch(pages, _sched(spark),
+                             pd.Timestamp("2026-01-01"), CrawlConfig(),
+                             n_scheduled=50, n_extract_parts=8)
+    assert is_warc
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    for cols in exchange_inputs(plan):
+        assert "html" not in cols and "bits" not in cols, plan
+
+
+def test_html_fetch_plan_shuffles_html_only_final_roundrobin(spark, tmp_path):
+    """HTML path: the winner-pick and join-back never put html through a
+    hash/single-partition Exchange; the one permitted html shuffle is the
+    final bounded round-robin redistribution before extraction."""
+    pages = _pages_table(spark, tmp_path, warc=False)
+    df, is_warc = asof_fetch(pages, _sched(spark),
+                             pd.Timestamp("2026-01-01"), CrawlConfig(),
+                             n_scheduled=50, n_extract_parts=8)
+    assert not is_warc
+    plan = plan_of(df)
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if not block.startswith("Exchange"):
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        cols = m.group(1) if m else ""
+        if "html" in cols:
+            assert "RoundRobinPartitioning" in block, plan
+
+
+def test_html_fetch_plan_gated_broadcast_off(spark, tmp_path):
+    """With the broadcast gate forced off (cluster-scale round), no
+    broadcast HINT may be pinned on the round-sized sets — whatever
+    broadcasting remains is Catalyst/AQE deciding from size statistics,
+    which is exactly the fallback the gate exists to enable. The hint vs
+    statistics distinction lives in the logical plan (ResolvedHint)."""
+    pages = _pages_table(spark, tmp_path, warc=False)
+
+    def logical(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(extended=True)
+        return buf.getvalue().split("== Physical Plan ==")[0]
+
+    gated, _ = asof_fetch(pages, _sched(spark), pd.Timestamp("2026-01-01"),
+                          CrawlConfig(broadcast_max_rows=0),
+                          n_scheduled=50, n_extract_parts=8)
+    hinted, _ = asof_fetch(pages, _sched(spark), pd.Timestamp("2026-01-01"),
+                           CrawlConfig(), n_scheduled=50, n_extract_parts=8)
+    assert "ResolvedHint" not in logical(gated)
+    assert "ResolvedHint" in logical(hinted)
