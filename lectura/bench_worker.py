@@ -89,6 +89,7 @@ def main() -> None:
         "crawl_sec": round(crawl_s, 3),
         "rounds": {f"round{s['round']}": s["seconds"] for s in stats},
         "traces": [s.get("trace") for s in stats],
+        "sinks": [s.get("sinks") for s in stats],
         "scheduled": scheduled,
         "extracted": extracted,
         "urls_per_sec": round((scheduled + extracted) / crawl_s, 1),

@@ -28,7 +28,7 @@ from lectura.frontier import dedupe_frontier, rank_per_host, schedule, with_budg
 from lectura.metrics import fetch_metrics, partition_lineage
 from lectura.robots import apply_robots, build_rule_table, host_delay_table
 from lectura.seen import (
-    anti_join_seen, bloom_build, bloom_merge, bloom_probe, shard_stats,
+    anti_join_seen, bloom_build, bloom_probe, bloom_upsert, shard_stats,
 )
 from lectura.tables import Warehouse
 from lectura.urlnorm import host_bucket, with_url_norm
@@ -49,24 +49,29 @@ def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
     alongside it) at ≥2× the observed load. The stats scan is n_shards
     rows. Returns the collected stats rows."""
     cap = max(1024, cfg.seen_capacity // cfg.n_shards)
-    new_shards = bloom_build(new_seen.select("url"), cfg.n_shards, cap,
-                             cfg.fpp)
     if wh.exists("seen_shards"):
-        merged = bloom_merge(wh.read("seen_shards").unionByName(new_shards))
+        merged = bloom_upsert(wh.read("seen_shards"), new_seen,
+                              cfg.n_shards, cap, cfg.fpp)
         wh.overwrite("seen_shards", merged)
     else:
-        wh.overwrite("seen_shards", new_shards)
-    stats = shard_stats(wh.read("seen_shards")).collect()
-    wh.append(
-        "bloom_stats",
-        spark.createDataFrame(
-            [(rnd, r["shard_id"], r["n_inserted"], r["capacity"],
-              float(r["fpp_est"]), bool(r["saturated"]))
-             for r in stats],
-            "round int, shard_id int, n_inserted long, "
-            "capacity long, fpp_est double, saturated boolean",
-        ).coalesce(1),
+        wh.overwrite(
+            "seen_shards",
+            bloom_build(new_seen.select("url"), cfg.n_shards, cap, cfg.fpp),
+        )
+    # Stats: ONE job — write the per-shard health rollup straight from the
+    # (blob-pruned) shard scan, then read the tiny written file back on the
+    # driver with pyarrow for the saturation decision. No collect job, and
+    # no createDataFrame round-trip (local-relation actions cost seconds
+    # per job in this build — measured r2).
+    stats_df = shard_stats(wh.read("seen_shards")).select(
+        F.lit(rnd).alias("round"), "*"
     )
+    snap = wh.append("bloom_stats", stats_df.coalesce(1))
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in wh.files_added("bloom_stats", snap):
+        stats.extend(pq.read_table(f).to_pylist())
     if any(r["saturated"] for r in stats):
         new_cap = 2 * max(max(r["n_inserted"] for r in stats), cap)
         all_seen = seen.select("url").unionByName(new_seen.select("url"))
@@ -354,10 +359,39 @@ class Crawler:
                 base_map[F.col("depth")] +
                 F.lit(cfg.w2) * F.col("_parent_score"),
             )
-            .withColumn("discovered_ts", F.lit(round_ts))
             .drop("_parent_score")
         )
-        children = with_url_norm(children_raw)  # adds host/hrk/path_q
+        # Pre-reduce per RAW link before canonicalization: pages link the
+        # same targets repeatedly (nav/listing structure), so the best row
+        # per raw string — order (score desc, depth asc, src asc), encoded
+        # as a struct-min; discovered_ts is constant within a round — is a
+        # partial-aggregating groupBy that shrinks the canonicalize UDF's
+        # Arrow traffic and the dedupe window input by the repeat factor.
+        # Sound because same-raw ⇒ same-canonical and the kept row
+        # dominates the dropped ones under dedupe_frontier's global order
+        # (SEMANTICS.md §4); dedupe_frontier still merges across raw
+        # variants afterwards.
+        children_best = (
+            children_raw.groupBy("url")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("_ns"),
+                        F.col("depth").alias("depth"),
+                        F.col("src_url").alias("src_url"),
+                        F.col("score").alias("score"),
+                    )
+                ).alias("_b")
+            )
+            .select(
+                "url",
+                F.col("_b.depth").alias("depth"),
+                F.col("_b.score").alias("score"),
+                F.col("_b.src_url").alias("src_url"),
+            )
+            .withColumn("discovered_ts", F.lit(round_ts))
+        )
+        children = with_url_norm(children_best)  # adds host/hrk/path_q
 
         leftovers = allowed.join(scheduled.select("url"), "url", "left_anti")
         new_seen = scheduled.select("url").unionByName(blocked).distinct().cache()
@@ -391,7 +425,17 @@ class Crawler:
             wh.append("frontier", next_frontier)
 
         def w_fetch_log():
+            # metrics is a rollup OF fetch_log: write the log once, then
+            # roll up from the written parquet (slim, round-pruned) instead
+            # of recomputing the ok/miss joins a second time in a parallel
+            # sink.
             wh.append("fetch_log", fetch_log.coalesce(4))
+            wh.append(
+                "metrics",
+                fetch_metrics(
+                    wh.read("fetch_log").filter(F.col("round") == rnd)
+                ).coalesce(1),
+            )
 
         def w_seen():
             wh.append(
@@ -433,16 +477,19 @@ class Crawler:
                 ).coalesce(1),
             )
 
-        def w_metrics():
-            wh.append("metrics", fetch_metrics(fetch_log).coalesce(1))
-
         sinks = [w_scheduled, w_frontier, w_fetch_log, w_seen,
-                 w_bloom, w_host_state, w_lineage, w_metrics]
+                 w_bloom, w_host_state, w_lineage]
         from concurrent.futures import ThreadPoolExecutor
+
+        sink_secs: dict[str, float] = {}
 
         def _run_sink(fn):
             spark.sparkContext.setJobDescription(f"r{rnd}:{fn.__name__}")
-            return fn()
+            t = time.time()
+            try:
+                return fn()
+            finally:
+                sink_secs[fn.__name__] = round(time.time() - t, 2)
 
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
             futures = {pool.submit(_run_sink, fn): fn.__name__ for fn in sinks}
@@ -462,6 +509,7 @@ class Crawler:
         }
         if os.environ.get("LECTURA_TRACE"):
             stats["trace"] = trace
+            stats["sinks"] = sink_secs
         self.log.commit(rnd, self._snapshots(), stats)
         verdict.unpersist()
         scheduled.unpersist()

@@ -15,7 +15,27 @@ oracle and unit tests.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+
 from lectura.pure.fingerprint import _BASE, _MOD, fnv1a64
+
+# Byte-level character-class tables for the ASCII range: classification of
+# an ASCII char equals classification of its single UTF-8 byte, so counting
+# over the encoded byte array is exact and numpy-vectorized. Non-ASCII
+# chars (multi-byte, all bytes >= 0x80, which the tables score 0) fall back
+# to per-char str.isalpha/isdigit — identical semantics, vectorized hot
+# path. This loop ran per CHARACTER in Python before (~50 MB of text per
+# bench round): it was a top-2 extraction cost.
+_ASCII_ALPHA = np.zeros(256, dtype=np.uint8)
+_ASCII_DIGIT = np.zeros(256, dtype=np.uint8)
+for _b in range(128):
+    if chr(_b).isalpha():
+        _ASCII_ALPHA[_b] = 1
+    elif chr(_b).isdigit():
+        _ASCII_DIGIT[_b] = 1
+_NON_ASCII = re.compile(r"[^\x00-\x7f]")
 
 # Small closed-class stopword list (quality + language affinity signal).
 STOPWORDS_EN = frozenset(
@@ -59,32 +79,36 @@ def enrich_text(text: str, cache: dict | None = None) -> dict:
             "lang_guess": "und", "fingerprint": 0, "simhash": 0,
         }
 
-    total_len = 0
-    n_stop = 0
-    counts = [0] * 64
+    entries = [_word_entry(w, cache) for w in words]
+    total_len = sum(map(len, words))
+    n_stop = sum(e[1] for e in entries)
     fp = 0
-    for w in words:
-        total_len += len(w)
-        h, is_stop = _word_entry(w, cache)
-        n_stop += is_stop
+    for h, _ in entries:  # order-sensitive polynomial — inherently serial
         fp = (fp * _BASE + h) % _MOD
-        for i in range(64):
-            if (h >> i) & 1:
-                counts[i] += 1
-            else:
-                counts[i] -= 1
-    sim = 0
-    for i in range(64):
-        if counts[i] > 0:
-            sim |= 1 << i
+    # simhash: per-bit vote over the word hashes. bit i of the signature is
+    # set iff more words have bit i set than clear (ones*2 > n). The
+    # little-endian byte view + bitorder='little' makes unpackbits column j
+    # equal (h >> j) & 1 — the exact loop this replaces (64 Python ops per
+    # word before; one vectorized pass now).
+    hs = np.fromiter((e[0] for e in entries), dtype=np.uint64, count=n)
+    bit_cols = np.unpackbits(
+        hs.astype("<u8").view(np.uint8).reshape(n, 8),
+        axis=1, bitorder="little",
+    )
+    ones = bit_cols.sum(axis=0, dtype=np.int64)
+    sim = int.from_bytes(
+        np.packbits(2 * ones > n, bitorder="little").tobytes(), "little"
+    )
 
-    n_alpha = 0
-    n_digit = 0
-    for c in text:
-        if c.isalpha():
-            n_alpha += 1
-        elif c.isdigit():
-            n_digit += 1
+    tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n_alpha = int(_ASCII_ALPHA[tb].sum())
+    n_digit = int(_ASCII_DIGIT[tb].sum())
+    if len(tb) != len(text):  # multi-byte chars present → exact slow path
+        for c in _NON_ASCII.findall(text):
+            if c.isalpha():
+                n_alpha += 1
+            elif c.isdigit():
+                n_digit += 1
     ln = len(text)
     alpha_ratio = n_alpha / ln
     digit_ratio = n_digit / ln

@@ -78,6 +78,57 @@ def bloom_merge(shards: DataFrame) -> DataFrame:
     return shards.groupBy("shard_id").applyInPandas(merge_shard, SHARD_SCHEMA)
 
 
+def bloom_upsert(shards: DataFrame, urls: DataFrame, n_shards: int,
+                 capacity_per_shard: int, fpp: float) -> DataFrame:
+    """D1+D2 fused: insert this round's urls into the existing shard blobs
+    in ONE cogrouped Arrow pass (per shard: the url keys + the one blob
+    row meet in a single task). The unfused path (build new shards, union
+    with old, merge) shuffles the blob set twice and runs two Python
+    passes; at bench scale the fused pass halves the dominant sink cost.
+
+    Shards with no new urls pass through untouched; shards not yet in the
+    table are built fresh at (capacity_per_shard, fpp) sizing. When a blob
+    exists, its recorded m/k govern (a resized filter keeps its larger
+    sizing)."""
+    m_default, k_default = bloomcore.size_for(capacity_per_shard, fpp)
+    keyed = with_shard(urls.select("url"), n_shards)
+
+    def upsert(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty and right.empty:
+            return pd.DataFrame(
+                columns=["shard_id", "bits", "n_inserted", "m_bits", "k",
+                         "capacity"]
+            )
+        if right.empty:
+            sid = int(left["shard_id"].iloc[0])
+            m, k, cap = m_default, k_default, capacity_per_shard
+            base = bloomcore.empty_bits(m)
+            n0 = 0
+        else:
+            sid = int(right["shard_id"].iloc[0])
+            m = int(right["m_bits"].iloc[0])
+            k = int(right["k"].iloc[0])
+            cap = int(right["capacity"].iloc[0])
+            base = np.frombuffer(bytes(right["bits"].iloc[0]),
+                                 dtype=np.uint8).copy()
+            n0 = int(right["n_inserted"].iloc[0])
+        if not left.empty:
+            h = left["url_key"].to_numpy(dtype=np.int64)
+            base |= bloomcore.build(h, m, k)
+            n0 += len(h)
+        return pd.DataFrame(
+            {"shard_id": [sid], "bits": [base.tobytes()],
+             "n_inserted": [n0], "m_bits": [m], "k": [k],
+             "capacity": [cap]}
+        )
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(upsert, SHARD_SCHEMA)
+    )
+
+
 def shard_stats(shards: DataFrame) -> DataFrame:
     """Per-shard health: estimated FPP from the standard Bloom formula
     (1 - e^(-k*n/m))^k plus a saturation flag. n_inserted counts attempted

@@ -82,4 +82,14 @@ def test_spark_build_probe_merge(spark):
         bloom_probe(urls.unionByName(urls2), merged, n_shards)
         .filter(~F.col("maybe_seen")).count() == 0
     )
+    # fused upsert (the round-loop path) must produce bit-identical shards
+    # to the unfused build+merge
+    from lectura.seen import bloom_upsert
+
+    upserted = bloom_upsert(shards, urls2, n_shards, 5000, fpp)
+    got = {r["shard_id"]: (bytes(r["bits"]), r["n_inserted"], r["m_bits"],
+                           r["k"]) for r in upserted.collect()}
+    want = {r["shard_id"]: (bytes(r["bits"]), r["n_inserted"], r["m_bits"],
+                            r["k"]) for r in merged.collect()}
+    assert got == want
     shards.unpersist()
