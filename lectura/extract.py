@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lectura.pure.enrich import ENRICH_COLS, enrich_text
-from lectura.pure.extract import extract_links, extract_text
+from lectura.pure.extract import extract_links, extract_page, extract_text
 
 EXTRACT_SCHEMA = (
     "url string, depth int, score double, text string, links array<string>, "
@@ -67,8 +67,9 @@ def extract_pages(fetched: DataFrame, gzipped: bool = False) -> DataFrame:
                 b = bytes(html) if html is not None else b""
                 if gzipped and b:
                     b = _gzip.decompress(b)
-                texts.append(extract_text(b))
-                links.append(extract_links(b, url))
+                t, ls = extract_page(b, url)
+                texts.append(t)
+                links.append(ls)
                 nbytes.append(len(b))
             yield _enriched_frame(pdf, texts, links, nbytes, cache)
 
@@ -126,8 +127,9 @@ def warc_fetch_extract(fetch_meta: DataFrame, gzipped: bool = True) -> DataFrame
                     b = fh.read(int(ln))
                     if gzipped:
                         b = _gzip.decompress(b)
-                    texts.append(extract_text(b))
-                    links.append(extract_links(b, url))
+                    t, ls = extract_page(b, url)
+                    texts.append(t)
+                    links.append(ls)
                     nbytes.append(len(b))
                 yield _enriched_frame(pdf, texts, links, nbytes, cache)
         finally:

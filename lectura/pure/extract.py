@@ -28,32 +28,62 @@ def _decode(html: bytes | str) -> str:
     return html
 
 
-def extract_text(html: bytes | str) -> str:
-    """script/style/comments removed -> tags to spaces -> unescape -> ws-normalize."""
-    s = _decode(html)
-    s = _RE_STRIP.sub(" ", s)
+def _text_from_stripped(s: str) -> str:
     s = _RE_TAG.sub(" ", s)
     s = _html.unescape(s)
     return " ".join(s.split())
 
 
-def extract_links(html: bytes | str, base_url: str) -> list[str]:
-    """Canonical absolute http(s) outlinks, document order, in-page deduped."""
-    from lectura.pure.urlnorm import resolve_url
-
+def extract_text(html: bytes | str) -> str:
+    """script/style/comments removed -> tags to spaces -> unescape -> ws-normalize."""
     s = _decode(html)
     s = _RE_STRIP.sub(" ", s)
+    return _text_from_stripped(s)
+
+
+def extract_page(html: bytes | str, base_url: str) -> tuple[str, list[str]]:
+    """(text, links) in one pass: decode + script/style/comment strip — the
+    two heaviest scans of the page — run ONCE and feed both outputs.
+    Byte-identical to extract_text(html), extract_links(html, base_url);
+    the fused X4 extraction calls this."""
+    s = _decode(html)
+    s = _RE_STRIP.sub(" ", s)
+    return _text_from_stripped(s), _links_from_stripped(s, base_url)
+
+
+def extract_links(html: bytes | str, base_url: str) -> list[str]:
+    """Canonical absolute http(s) outlinks, document order, in-page deduped."""
+    s = _decode(html)
+    s = _RE_STRIP.sub(" ", s)
+    return _links_from_stripped(s, base_url)
+
+
+_MISS = object()
+
+
+def _links_from_stripped(s: str, base_url: str) -> list[str]:
+    from lectura.pure.urlnorm import resolve_url
+
     seen: set[str] = set()
     out: list[str] = []
+    # per-page memo on the raw matched href: listing/nav pages repeat the
+    # same href many times, and unescape+resolve+canonicalize are the
+    # per-link cost (pure optimization — outputs identical)
+    memo: dict = {}
     for m in _RE_HREF.finditer(s):
-        href = m.group(1) or m.group(2) or m.group(3) or ""
-        href = _html.unescape(href).strip()
-        if not href or href.startswith("#"):
-            continue
-        low = href.lower()
-        if any(low.startswith(p) for p in _SKIP_SCHEMES):
-            continue
-        u = resolve_url(base_url, href)
+        raw = m.group(1) or m.group(2) or m.group(3) or ""
+        u = memo.get(raw, _MISS)
+        if u is _MISS:
+            href = _html.unescape(raw).strip()
+            if not href or href.startswith("#"):
+                u = None
+            else:
+                low = href.lower()
+                if any(low.startswith(p) for p in _SKIP_SCHEMES):
+                    u = None
+                else:
+                    u = resolve_url(base_url, href)
+            memo[raw] = u
         if u is None or u == base_url:
             continue
         if u not in seen:
