@@ -40,6 +40,12 @@ def main() -> None:
     # salting and every join is broadcast, so disable it for the timed
     # crawl. Real-cluster runs keep the session default (AQE on).
     extra = {"spark.sql.adaptive.enabled": "false"}
+    evlog = os.environ.get("LECTURA_EVLOG")
+    if evlog:  # profiling runs: per-job/stage timings via the event log
+        os.makedirs(evlog, exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = evlog
+        extra["spark.eventLog.compress"] = "false"
     scratch = os.environ.get("LECTURA_SCRATCH")
     if scratch:  # shuffle/spill on the fast scratch volume (bench: tmpfs)
         local = os.path.join(scratch, f"sparklocal-{os.getpid()}")

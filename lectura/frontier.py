@@ -21,7 +21,15 @@ FRONTIER_COLS = ["url", "host", "hrk", "path_q", "depth", "score",
 
 def dedupe_frontier(df: DataFrame) -> DataFrame:
     """Best row per canonical url: (score desc, depth asc, discovered_ts
-    asc, src_url asc-nulls-first) — deterministic reduce (SEMANTICS.md §4)."""
+    asc, src_url asc-nulls-first) — deterministic reduce (SEMANTICS.md §4).
+
+    Window row_number, deliberately NOT groupBy(url).agg(min(struct(...))):
+    a struct-typed min buffer is unsupported by HashAggregateExec, so the
+    agg form plans as SortAggregate — a full sort on BOTH sides of the
+    exchange (partial + final), measured ~2× the window's single
+    post-shuffle sort at bench scale. Callers that can prove their input
+    is already url-distinct (the frontier table is written deduped) skip
+    this entirely."""
     w = Window.partitionBy("url").orderBy(
         F.desc("score"),
         F.asc("depth"),

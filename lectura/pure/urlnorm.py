@@ -198,9 +198,50 @@ def host_reverse_key(canon_url: str) -> str:
     return ",".join(reversed(host.split("."))) + ")" + path_query_of(canon_url)
 
 
+_BASE_NET_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _base_scheme_netloc(base: str) -> tuple[str, str]:
+    hit = _BASE_NET_CACHE.get(base)
+    if hit is None:
+        parts = urlsplit(base)
+        hit = (parts.scheme.lower(), parts.netloc)
+        if len(_BASE_NET_CACHE) > 4096:
+            _BASE_NET_CACHE.clear()
+        _BASE_NET_CACHE[base] = hit
+    return hit
+
+
 def resolve_url(base: str, ref: str) -> str | None:
-    """RFC 3986 §5 reference resolution + canonicalization."""
+    """RFC 3986 §5 reference resolution + canonicalization.
+
+    Fast paths (pure optimizations, property-tested equal to the urljoin
+    route; urljoin costs ~35 µs/call and dominates extraction): a ref with
+    its own authority resolves to itself, and an absolute-path ref is
+    scheme://base-netloc + ref — in both cases canonicalize_url performs
+    the same remove_dot_segments the resolution algorithm would. Refs
+    containing ';' always take the urljoin route: urlparse's params split
+    drops a trailing ';' of the last path segment (urlunparse re-appends
+    ';params' only when non-empty) and that quirk is part of the frozen
+    byte-exact behavior."""
     try:
+        low = ref[:8].lower()
+        if ";" in ref:
+            return canonicalize_url(urljoin(base, ref))
+        if low.startswith(("http://", "https://")):
+            rest = ref[7:] if low.startswith("http://") else ref[8:]
+            if rest and rest[0] not in "/?#":
+                return canonicalize_url(ref)
+        elif ref.startswith("/") and not ref.startswith("//"):
+            scheme, netloc = _base_scheme_netloc(base)
+            if scheme in ("http", "https") and netloc:
+                return canonicalize_url(f"{scheme}://{netloc}{ref}")
+        elif ref.startswith("//"):
+            rest = ref[2:]
+            if rest and rest[0] not in "/?#":
+                scheme, _ = _base_scheme_netloc(base)
+                if scheme in ("http", "https"):
+                    return canonicalize_url(scheme + ":" + ref)
         return canonicalize_url(urljoin(base, ref))
     except ValueError:
         return None

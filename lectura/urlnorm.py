@@ -49,6 +49,43 @@ def url_norm_struct(urls: pd.Series) -> pd.DataFrame:
                         index=urls.index)
 
 
+_PARTS_STRUCT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("hrk", T.StringType()),
+        T.StructField("path_q", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_PARTS_STRUCT)
+def url_parts_struct(canon_urls: pd.Series) -> pd.DataFrame:
+    """host/hrk/path_q for ALREADY-CANONICAL urls (extracted outlinks are
+    canonicalized at resolve time — X1), skipping the idempotent
+    re-canonicalization pass that dominates url_norm_struct's cost."""
+
+    def parts(u: str) -> tuple:
+        return (registered_host(u), host_reverse_key(u), path_query_of(u))
+
+    memo = {u: parts(u) for u in pd.unique(canon_urls.dropna())}
+    none3 = (None, None, None)
+    tuples = [memo.get(u, none3) if u is not None else none3
+              for u in canon_urls]
+    return pd.DataFrame(tuples, columns=["host", "hrk", "path_q"],
+                        index=canon_urls.index)
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add host/hrk/path_q to rows whose `url_col` is already canonical
+    (same output as with_url_norm on canonical input, ~half the Python)."""
+    return (
+        df.withColumn("_p", url_parts_struct(F.col(url_col)))
+        .select("*", "_p.*")
+        .drop("_p")
+        .filter(F.col(url_col).isNotNull())
+    )
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url, na_action="ignore")

@@ -118,3 +118,32 @@ def test_idempotent(host, path):
 def test_never_raises(s):
     canonicalize_url(s)
     canonicalize_url("http://example.com/" + s)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    base_host=st.from_regex(r"[a-z0-9.\-]{1,12}", fullmatch=True),
+    base_path=st.text(alphabet=_URL_CHARS, max_size=24),
+    ref=st.one_of(
+        st.text(alphabet=_URL_CHARS, max_size=40),
+        st.text(alphabet=_URL_CHARS, max_size=30).map(lambda s: "/" + s),
+        st.text(alphabet=_URL_CHARS, max_size=30).map(lambda s: "//" + s),
+        st.text(alphabet=_URL_CHARS, max_size=30).map(
+            lambda s: "http://" + s),
+        st.text(alphabet=_URL_CHARS, max_size=30).map(
+            lambda s: "https://" + s),
+    ),
+)
+def test_resolve_fast_paths_equal_urljoin(base_host, base_path, ref):
+    """resolve_url's fast paths must produce byte-identical output to the
+    plain canonicalize(urljoin(...)) route (X1/X2 goldens are frozen)."""
+    from urllib.parse import urljoin
+
+    base = canonicalize_url(f"http://{base_host}/{base_path}")
+    if base is None:
+        return
+    try:
+        want = canonicalize_url(urljoin(base, ref))
+    except ValueError:
+        want = None
+    assert resolve_url(base, ref) == want, (base, ref)
