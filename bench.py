@@ -96,6 +96,9 @@ def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str,
                        env=_worker_env(scratch), cwd=REPO)
     for line in p.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
+            # drop this run's warehouse + shuffle dirs before the next
+            # measurement starts (keeps tmpfs pressure flat across runs)
+            shutil.rmtree(wh_dir, ignore_errors=True)
             return json.loads(line[len("BENCH_RESULT "):])
     sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
     raise RuntimeError(f"bench worker failed for {master}")

@@ -934,6 +934,17 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, list(qvec), k=10, n_planes=8)
 
 
+# IVF ANN (data-adaptive scale path; rows-only — recall pytest vs brute
+# force, k-means centroids are float-order-sensitive so no SQL oracle)
+@q("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    from lectura.vectorops import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, list(qvec), k=10, n_centroids=8, n_probe=3)
+
+
 # Text quality scoring (length / stopword / vocabulary-diversity signals)
 @q(
     "text_quality",

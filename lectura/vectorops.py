@@ -124,6 +124,103 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def _nearest_centroid(vec_col, centroids: list[list[float]]) -> F.Column:
+    """Argmax-cosine centroid id, all JVM-side: greatest() over
+    (dot, cid) structs — struct comparison breaks dot ties toward the
+    larger cid, deterministically. Centroids arrive unit-normalized so
+    dot == cosine ranking."""
+    entries = []
+    for ci, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(F.struct(_dot(F.col(vec_col), clit).alias("d"),
+                                F.lit(ci).alias("cid")))
+    picked = entries[0] if len(entries) == 1 else F.greatest(*entries)
+    # greatest() drops struct field names (col1/col2) — restore them
+    return picked.cast("struct<d:double,cid:int>").getField("cid")
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v] if n > 0 else list(v)
+
+
+def kmeans_centroids(df: DataFrame, n_centroids: int, n_iters: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     train_mod: int = 1) -> list[list[float]]:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    - init: the `n_centroids` rows with smallest xxhash64(id) — a
+      deterministic, order/parallelism-independent pseudo-random pick
+      (distributed TakeOrderedAndProject, no driver-side sampling).
+    - `train_mod` > 1 trains on the hash-sampled subset
+      pmod(xxhash64(id), train_mod) == 0 — at corpus scale the quantizer
+      only needs a sample, not a full pass per iteration.
+    - each Lloyd iteration is one assignment pass (JVM expressions) + one
+      per-dimension mean (posexplode → groupBy(cid, pos).avg — a plain
+      hash agg of C×dim cells); only C×dim doubles ever reach the driver.
+    - empty clusters keep their previous centroid; means are re-normalized
+      (spherical k-means, matching the cosine assignment metric).
+    """
+    train = df.select(id_col, vec_col)
+    if train_mod > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(id_col), F.lit(train_mod)) == 0
+        )
+    init_rows = (
+        train.select(F.xxhash64(id_col).alias("_h"), vec_col)
+        .orderBy("_h").limit(n_centroids).collect()
+    )
+    centroids = [_unit([float(x) for x in r[vec_col]]) for r in init_rows]
+    for _ in range(n_iters):
+        assigned = train.select(
+            _nearest_centroid(vec_col, centroids).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        cells = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        means: dict[int, list[float]] = {}
+        for r in cells:
+            means.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
+        centroids = [
+            _unit(means[ci]) if ci in means else centroids[ci]
+            for ci in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_index(df: DataFrame, centroids: list[list[float]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Rows tagged with their inverted-list id. At scale this is the
+    persisted index: write partitioned by `cid` so a probe reads only
+    n_probe partitions — no shuffle, no full scan."""
+    return df.withColumn("cid", _nearest_centroid(vec_col, centroids))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, n_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train_mod: int = 1) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization: k-means
+    cells as inverted lists, probe the `n_probe` cells nearest the query,
+    exact cosine rerank inside them. Complements lsh_topk: IVF adapts to
+    the data distribution (better recall per candidate at equal cost)
+    where LSH is data-independent and indexes in one pass."""
+    centroids = kmeans_centroids(df, n_centroids, n_iters, id_col, vec_col,
+                                 train_mod)
+    qn = _unit([float(x) for x in query_vec])
+    by_dot = sorted(
+        range(len(centroids)),
+        key=lambda ci: (-sum(a * b for a, b in zip(qn, centroids[ci])), ci),
+    )
+    probe = by_dot[:n_probe]
+    cand = ivf_index(df, centroids, vec_col).filter(F.col("cid").isin(probe))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def cosine_pairs(df: DataFrame, min_cosine: float, max_id: int | None = None,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -177,3 +177,44 @@ def test_ann_brute_force_matches_numpy(spark):
     want = [int(v) for _, v in order]
     got = [r.vec_id for r in brute_force_topk(emb, list(q), k=10).collect()]
     assert got == want
+
+
+def test_ann_ivf_recall_planted_neighbors(spark):
+    """Same planted-neighbor setup as the LSH test: IVF (kmeans cells +
+    n_probe nearest cells + exact rerank) must recover ≥80% of the
+    brute-force top-10 — the planted cluster lands in one cell."""
+    import random
+
+    import numpy as np
+
+    from lectura.vectorops import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = np.asarray(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rng = random.Random(7)
+    planted = []
+    for i in range(15):
+        noise = np.asarray([rng.gauss(0, 0.02) for _ in qvec], dtype=np.float32)
+        planted.append((10_000 + i, (qvec + noise).astype(np.float32).tolist(), -1))
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    exact = [r.vec_id for r in brute_force_topk(aug, list(qvec), k=10).collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(aug, list(qvec), k=10, n_centroids=8, n_probe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_ivf_index_partitions_cover_all_rows(spark):
+    """Every vector lands in exactly one inverted list; cells cover the
+    set (the persisted-index invariant behind partition-pruned probes)."""
+    from lectura.vectorops import ivf_index, kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(emb, 8, n_iters=2)
+    assert len(cents) == 8
+    idx = ivf_index(emb, cents)
+    assert idx.count() == emb.count()
+    cids = [r.cid for r in idx.select("cid").distinct().collect()]
+    assert all(0 <= c < 8 for c in cids)
