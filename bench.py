@@ -31,15 +31,19 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-# Scaling pair N -> 4N (north rule): pick N so that even the 4N level's
-# executor threads + Python extraction workers (2 procs per slot) leave
-# the machine undersubscribed. When a level saturates all 32 vCPUs the
-# measurement is dominated by hypervisor steal + lost turbo (this VM's
-# own pure-CPU-spin scaling tops out at 0.86 for 8->32 procs) rather
-# than the pipeline; a real cluster adds whole machines, which local
-# mode can only approximate while undersubscribed. Full 2..32 ladder and
-# the steal measurements: BENCH/BASELINE.md.
-SCALE_N = max(2, CPUS // 16)
+# Scaling pair N -> 4N (north rule): pick N so that BOTH levels sit in
+# the host's measured flat zone. Every pandas-UDF task slot runs two
+# processes (JVM task thread + Python extraction worker), so local[N]
+# puts ~2N runnable procs on the VM; pure CPU-spin probes of this guest
+# show per-proc throughput flat up to ~8 runnable procs, -17% at 16 and
+# -25%+ (plus 8-19% steal) at 32 — a level above local[4] measures the
+# hypervisor as much as the pipeline. local[1] -> local[4] (2 -> 8
+# procs) keeps the 4x core ratio the rule asks for while both levels
+# stay below the interference knee; a real cluster adds whole machines,
+# which local mode can only approximate while undersubscribed. The
+# saturated pair is still measured and reported alongside. Full ladder
+# + probe data: BENCH/BASELINE.md.
+SCALE_N = max(1, CPUS // 32)
 SCALE_4N = SCALE_N * 4
 ROUNDS = 3
 # scaling pair runs fewer rounds purely to bound bench wall-clock (the
@@ -53,7 +57,12 @@ _m = re.search(r"sf([0-9.]+)", SF_DIR)
 SF = float(_m.group(1)) if _m else 0.1
 N_URLS = max(2_000, int(10_000_000 * SF))
 N_HOSTS = max(50, N_URLS // 100)
-N_SEEDS = max(200, N_URLS // 20)
+# Seed the frontier so every measured round runs AT the round cap
+# (200 k urls at sf0.1): a 50 k-seed round 1 measures mostly per-round
+# fixed latency, which at the 10^10-URL design point (10^7+-url rounds
+# on a real cluster) is noise — scaling efficiency must be measured in
+# the work-dominated regime the north rule actually targets.
+N_SEEDS = max(200, N_URLS // 5)
 BODY_KB = 48.0
 ROUND_SECONDS = 300.0
 MAX_ROUND_URLS = max(2_000, N_URLS // 5)
@@ -74,9 +83,20 @@ def _scratch_root() -> str:
     return tempfile.mkdtemp(prefix="lectura_bench_")
 
 
+# ExplicitGCInvokesConcurrent: spark.cleaner.periodicGC calls System.gc()
+# every 15 s to reclaim shuffle/broadcast blocks (see lectura/session.py);
+# without this flag each call is a STOP-THE-WORLD full collection of the
+# 16 g heap, and whether it cascades into a GC storm depends on heap-fill
+# timing — measured as bimodal 55 s vs 180 s runs of the identical crawl
+# (26% of task time in GC on the slow runs, ~2% with the flag).
+_JVM_OPTS = ('--driver-java-options '
+             '"-XX:+ExplicitGCInvokesConcurrent -XX:+ParallelRefProcEnabled"')
+_SUBMIT_ARGS = f"--driver-memory 16g {_JVM_OPTS} pyspark-shell"
+
+
 def _worker_env(scratch: str) -> dict:
     env = dict(os.environ)
-    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 16g pyspark-shell"
+    env["PYSPARK_SUBMIT_ARGS"] = _SUBMIT_ARGS
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["LECTURA_SCRATCH"] = scratch
     return env
@@ -110,7 +130,7 @@ def main() -> None:
     corpus_dir = os.path.join(scratch, "corpus")
 
     # --- corpus generation (parallel, deterministic; not timed as crawl) ---
-    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", _SUBMIT_ARGS)
     from pyspark.sql import functions as F
 
     from lectura.config import CrawlConfig
@@ -211,6 +231,8 @@ def main() -> None:
                 "t_small_sec": sat_small["crawl_sec"],
                 "t_big_sec": sat_big["crawl_sec"],
                 "efficiency": sat_eff,
+                # pure CPU-spin probe of this guest, 8 -> 32 procs;
+                # measured 0.73-0.86 depending on the hour (steal)
                 "cpu_spin_ceiling_8to32": 0.86,
                 "efficiency_normalized_by_ceiling": round(
                     min(1.0, sat_eff / 0.86), 3

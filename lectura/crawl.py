@@ -36,6 +36,17 @@ from lectura.urlnorm import host_bucket, with_url_norm, with_url_parts
 STATE_TABLES = ["frontier", "scheduled", "seen", "seen_shards", "host_state",
                 "text", "fetch_log", "lineage", "metrics", "bloom_stats"]
 
+from pyspark.sql import types as T  # noqa: E402
+
+BLOOM_STATS_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("shard_id", T.IntegerType()),
+    T.StructField("n_inserted", T.LongType()),
+    T.StructField("capacity", T.LongType()),
+    T.StructField("fpp_est", T.DoubleType()),
+    T.StructField("saturated", T.BooleanType()),
+])
+
 
 def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
                  seen: DataFrame, new_seen: DataFrame) -> list:
@@ -58,20 +69,45 @@ def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
             "seen_shards",
             bloom_build(new_seen.select("url"), cfg.n_shards, cap, cfg.fpp),
         )
-    # Stats: ONE job — write the per-shard health rollup straight from the
-    # (blob-pruned) shard scan, then read the tiny written file back on the
-    # driver with pyarrow for the saturation decision. No collect job, and
-    # no createDataFrame round-trip (local-relation actions cost seconds
-    # per job in this build — measured r2).
-    stats_df = shard_stats(wh.read("seen_shards")).select(
-        F.lit(rnd).alias("round"), "*"
-    )
-    snap = wh.append("bloom_stats", stats_df.coalesce(1))
+    # Stats: ZERO extra jobs — the written shard files already carry the
+    # counters, so read everything but the bits column driver-side with
+    # pyarrow (n_shards slim rows), evaluate the FPP formula in Python
+    # (same (1-e^{-kn/m})^k as seen.shard_stats), and commit the rows as a
+    # driver-written parquet append. The former stats job + read-back was
+    # per-round serial latency.
+    import math
+
     import pyarrow.parquet as pq
 
     stats = []
-    for f in wh.files_added("bloom_stats", snap):
-        stats.extend(pq.read_table(f).to_pylist())
+    for f in wh._files("seen_shards"):
+        t = pq.read_table(
+            f, columns=["shard_id", "n_inserted", "m_bits", "k", "capacity"]
+        )
+        for r in t.to_pylist():
+            n, m, k = (float(r["n_inserted"]), float(r["m_bits"]),
+                       float(r["k"]))
+            stats.append(
+                {
+                    "round": rnd,
+                    "shard_id": r["shard_id"],
+                    "n_inserted": r["n_inserted"],
+                    "capacity": r["capacity"],
+                    "fpp_est": (1.0 - math.exp(-k * n / m)) ** k,
+                    "saturated": r["n_inserted"] > r["capacity"],
+                }
+            )
+    import pyarrow as pa
+
+    wh.append_local(
+        "bloom_stats",
+        pa.Table.from_pylist(stats, schema=pa.schema(
+            [("round", pa.int32()), ("shard_id", pa.int32()),
+             ("n_inserted", pa.int64()), ("capacity", pa.int64()),
+             ("fpp_est", pa.float64()), ("saturated", pa.bool_())]
+        )),
+        BLOOM_STATS_SCHEMA.json(),
+    )
     if any(r["saturated"] for r in stats):
         new_cap = 2 * max(max(r["n_inserted"] for r in stats), cap)
         all_seen = seen.select("url").unionByName(new_seen.select("url"))
@@ -115,10 +151,16 @@ def asof_fetch(pages: DataFrame, scheduled: DataFrame, round_ts, cfg,
     ]
     cap_keys = ["url", "warc_ts", "_cap_f", "_cap_i"]
     sched_slim = scheduled.select("url", "depth", "score")
+    # The semi filter joins the SAME sched_slim subtree that the final
+    # join uses (dropping the ride-along columns afterwards) so the two
+    # BroadcastExchanges are identical and ReuseExchange builds one
+    # broadcast instead of two — broadcast builds are per-round serial
+    # latency.
     slim = (
         pages.select("url", "warc_ts", *cap_cols)
         .filter(F.col("warc_ts") <= F.lit(round_ts))
-        .join(bc(scheduled.select("url")), "url")
+        .join(bc(sched_slim), "url")
+        .drop("depth", "score")
     )
     w_asof = Window.partitionBy("url").orderBy(
         F.desc("warc_ts"), F.desc("_cap_f"), F.desc("_cap_i")
@@ -156,6 +198,19 @@ class Crawler:
         self.wh = wh
         self.cfg = cfg or CrawlConfig()
         self.log = RoundLog(wh.root)
+        # Deferred tail of the previous round (metrics-only sinks + the
+        # round commit) — see run_round's sink section.
+        self._pending: "threading.Thread | None" = None
+        self._pending_err: list[BaseException] = []
+
+    def _join_pending(self) -> None:
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+            if self._pending_err:
+                err = self._pending_err[0]
+                self._pending_err = []
+                raise RuntimeError("deferred sink/commit failed") from err
 
     # -- setup ---------------------------------------------------------------
     def init_tables(self, pages: DataFrame, seeds: DataFrame,
@@ -289,21 +344,37 @@ class Crawler:
                                cfg, rnd, broadcast_hint=hs_small)
         ranked = rank_per_host(budgeted, cfg.salt_buckets,
                                max_rank=cfg.max_per_host)
-        scheduled = schedule(ranked, cfg).select(
-            "sched_rank", "url", "host", "hrk", "path_q", "depth", "score"
-        ).cache()
-        # one job materializes the cache AND yields count + host buckets
-        # (fewer driver round-trips — serial job latency is the scaling tax)
-        bucket_counts = scheduled.groupBy(
-            host_bucket("host", cfg.host_buckets).alias("hb")
-        ).count().collect()
-        n_scheduled = sum(r["count"] for r in bucket_counts)
+        # Materialize the schedule AS the scheduled-table append (S6-style):
+        # one job instead of cache-materialize + a later sink write, and no
+        # columnar cache. n_scheduled comes from parquet footers and the
+        # host_bucket prune set from a driver-side pyarrow column read of
+        # the just-written slim files — zero extra Spark jobs. Downstream
+        # consumers re-read the written parquet column-pruned.
+        sched_snap = wh.append(
+            "scheduled",
+            schedule(ranked, cfg).select(
+                "sched_rank", "url", "host", "hrk", "path_q", "depth", "score"
+            ).withColumn("round", F.lit(rnd))
+            .withColumn("host_bucket", host_bucket("host", cfg.host_buckets))
+            .coalesce(4),
+        )
+        import pyarrow.parquet as pq
+
+        sched_files = wh.files_added("scheduled", sched_snap)
+        n_scheduled = wh.count_rows(sched_files)
+        buckets: set[int] = set()
+        for f in sched_files:
+            col = pq.read_table(f, columns=["host_bucket"])
+            buckets.update(col.column("host_bucket").to_pylist())
+        scheduled = (
+            wh.read("scheduled").filter(F.col("round") == rnd)
+            .drop("round", "host_bucket")
+        )
         mark("schedule")
 
         pages = wh.read("pages")
         if n_scheduled and "host_bucket" in pages.columns:
-            buckets = [r["hb"] for r in bucket_counts]
-            pages = pages.filter(F.col("host_bucket").isin(buckets))
+            pages = pages.filter(F.col("host_bucket").isin(sorted(buckets)))
         n_extract_parts = max(
             64, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
         )
@@ -434,12 +505,6 @@ class Crawler:
         n_extracted = wh.count_rows(wh.files_added("text", text_snap))
         mark("materialize")
 
-        def w_scheduled():
-            wh.append(
-                "scheduled",
-                scheduled.withColumn("round", F.lit(rnd)).coalesce(4),
-            )
-
         def w_frontier():
             wh.append("frontier", next_frontier)
 
@@ -496,8 +561,20 @@ class Crawler:
                 ).coalesce(1),
             )
 
-        sinks = [w_scheduled, w_frontier, w_fetch_log, w_seen,
-                 w_bloom, w_host_state, w_lineage]
+        # Sink split (latency, not correctness): the CRITICAL sinks feed
+        # round r+1's reads (frontier, seen, seen_shards, host_state) and
+        # are awaited here; the LAGGARD sinks (fetch_log → metrics,
+        # lineage) feed nothing downstream, so they and the round commit
+        # run on a deferred thread OVERLAPPED with round r+1's schedule/
+        # extract phases — per-round serial latency is the scaling tax at
+        # every parallelism level. Correctness: round r+1's own sink phase
+        # joins the deferred thread before touching any table (no
+        # concurrent same-table manifest commits); the commit's per-table
+        # snapshots are captured at this sync point and patched for the
+        # laggard tables after their writes, so a crash anywhere in the
+        # window restores exactly round r (kill/resume test).
+        critical = [w_frontier, w_seen, w_bloom, w_host_state]
+        laggard = [w_fetch_log, w_lineage]
         from concurrent.futures import ThreadPoolExecutor
 
         sink_secs: dict[str, float] = {}
@@ -510,29 +587,48 @@ class Crawler:
             finally:
                 sink_secs[fn.__name__] = round(time.time() - t, 2)
 
-        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-            futures = {pool.submit(_run_sink, fn): fn.__name__ for fn in sinks}
-            for fut, name in futures.items():
-                try:
-                    fut.result()
-                except Exception as e:
-                    raise RuntimeError(
-                        f"sink {name} failed in round {rnd}"
-                    ) from e
+        self._join_pending()
+        pool = ThreadPoolExecutor(max_workers=len(critical) + len(laggard))
+        crit_futs = {pool.submit(_run_sink, fn): fn.__name__
+                     for fn in critical}
+        lag_futs = {pool.submit(_run_sink, fn): fn.__name__ for fn in laggard}
+        for fut, name in crit_futs.items():
+            try:
+                fut.result()
+            except Exception as e:
+                pool.shutdown(wait=True)
+                raise RuntimeError(f"sink {name} failed in round {rnd}") from e
         mark("w_sinks")
+        snaps = self._snapshots()
         stats = {
             "round": rnd,
             "scheduled": int(n_scheduled),
             "extracted": int(n_extracted),
             "seconds": round(time.time() - t0, 3),
         }
-        if os.environ.get("LECTURA_TRACE"):
-            stats["trace"] = trace
-            stats["sinks"] = sink_secs
-        self.log.commit(rnd, self._snapshots(), stats)
         verdict.unpersist()
-        scheduled.unpersist()
         new_seen.unpersist()
+
+        def _finish():
+            try:
+                for fut, name in lag_futs.items():
+                    fut.result()
+                for tname in ("fetch_log", "metrics", "lineage"):
+                    snaps[tname] = (self.wh.snapshot(tname)
+                                    if self.wh.exists(tname) else None)
+                if os.environ.get("LECTURA_TRACE"):
+                    stats["trace"] = trace
+                    stats["sinks"] = sink_secs
+                self.log.commit(rnd, snaps, stats)
+            except BaseException as e:  # surfaced at the next join point
+                self._pending_err.append(e)
+            finally:
+                pool.shutdown(wait=False)
+
+        import threading
+
+        self._pending = threading.Thread(target=_finish, daemon=True)
+        self._pending.start()
         return stats
 
     # -- loop -----------------------------------------------------------------
@@ -546,6 +642,9 @@ class Crawler:
         stats = []
         for rnd in range(start + 1, rounds + 1):
             stats.append(self.run_round(rnd))
+        # the final round's deferred sinks + commit must land before the
+        # crawl is considered done (and before any reader trusts the log)
+        self._join_pending()
         return stats
 
     # -- convenience ------------------------------------------------------------
@@ -554,6 +653,7 @@ class Crawler:
         return (
             self.wh.read("scheduled")
             .filter(F.col("round") == rnd)
+            .drop("round", "host_bucket")
             .orderBy("sched_rank")
         )
 

@@ -122,6 +122,21 @@ class Warehouse:
         files = self._files(name) + self._write_files(name, df)
         return self._commit(name, files, df.schema.json())
 
+    def append_local(self, name: str, arrow_table, schema_json: str) -> int:
+        """Append a driver-written pyarrow table — tiny control-plane rows
+        (e.g. per-round bloom-shard stats) whose content the driver already
+        holds. Launching a Spark job to write a dozen rows is pure serial
+        round-loop latency; this writes the parquet file directly and
+        commits it like any other append."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self._tdir(name), "data", uuid.uuid4().hex)
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, "part-0.parquet")
+        pq.write_table(arrow_table, path)
+        files = (self._files(name) if self.exists(name) else []) + [path]
+        return self._commit(name, files, schema_json)
+
     def files_added(self, name: str, snap: int) -> list[str]:
         """Files introduced by snapshot `snap` (vs its predecessor)."""
         prev = set(self._files(name, snap - 1)) if snap > 0 else set()

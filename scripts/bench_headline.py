@@ -18,7 +18,9 @@ sys.path.insert(0, REPO)
 
 def gen_corpus(corpus_dir: str, n_urls: int, scratch: str) -> None:
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS",
-                          "--driver-memory 16g pyspark-shell")
+                          ("--driver-memory 16g --driver-java-options "
+         '"-XX:+ExplicitGCInvokesConcurrent -XX:+ParallelRefProcEnabled" '
+         "pyspark-shell"))
     from pyspark.sql import functions as F
 
     from lectura.config import CrawlConfig
@@ -65,7 +67,9 @@ def main() -> None:
         gen_corpus(args.corpus, args.n_urls, scratch)
 
     env = dict(os.environ)
-    env["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 16g pyspark-shell"
+    env["PYSPARK_SUBMIT_ARGS"] = ("--driver-memory 16g --driver-java-options "
+         '"-XX:+ExplicitGCInvokesConcurrent -XX:+ParallelRefProcEnabled" '
+         "pyspark-shell")
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["LECTURA_SCRATCH"] = scratch
     if args.trace:
