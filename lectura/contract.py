@@ -945,6 +945,103 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, list(qvec), k=10, n_centroids=8, n_probe=3)
 
 
+# ---------------------------------------------------------------------------
+# Graph operators over the document-similarity graph (graphops.py):
+# dup-cluster grouping (connected components) and centrality scoring
+# (PageRank). Both engines derive the SAME edge set — word-trigram
+# Jaccard pairs (the dedup_ngram_jaccard pipeline) at the rounded-4dp
+# threshold — so floats can't perturb graph membership.
+# ---------------------------------------------------------------------------
+_SIM_GRAPH_CTES = r"""words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 300
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i+2], ' ')
+                 for i in generate_series(1, greatest(len(w)-2, 1))]) AS s
+  FROM words
+), sh2 AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+keep AS (SELECT s FROM sh2 GROUP BY s HAVING count(*) <= 1000),
+sh3 AS (SELECT doc_id, s FROM sh2 SEMI JOIN keep USING (s)),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges0 AS (
+  SELECT d1, d2 FROM pairs
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 4) >= 0.02
+)"""
+
+
+def _sim_edges(spark, sf_dir):
+    from lectura.textops import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(docs, n=3, min_inter=2).filter(
+        F.col("jaccard") >= 0.02
+    )
+
+
+def _pagerank_oracle(iters: int = 8, d: float = 0.85) -> str:
+    # Unrolled power iteration: plain chained CTEs (aggregates are not
+    # allowed in a recursive term), one per iteration — mirrors the
+    # fixed-iteration Spark loop exactly.
+    ctes = [
+        f"WITH {_SIM_GRAPH_CTES}",
+        "sym AS (SELECT d1 AS u, d2 AS v FROM edges0"
+        " UNION SELECT d2, d1 FROM edges0)",
+        "deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u)",
+        "nn AS (SELECT count(*) * 1.0 AS n FROM deg)",
+        "pr0 AS (SELECT u AS node, 1.0 / nn.n AS rank FROM deg, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT s.v AS node,"
+            f" ({1.0 - d!r}) / nn.n + {d!r} * sum(p.rank / dg.deg) AS rank"
+            f" FROM sym s JOIN pr{i - 1} p ON s.u = p.node"
+            f" JOIN deg dg ON s.u = dg.u, nn GROUP BY s.v, nn.n)"
+        )
+    return (", ".join(ctes)
+            + f" SELECT node, round(rank, 4) AS rank FROM pr{iters}")
+
+
+@q(
+    "graph_components",
+    "WITH RECURSIVE " + _SIM_GRAPH_CTES + """,
+und AS (SELECT d1 AS u, d2 AS v FROM edges0 UNION SELECT d2, d1 FROM edges0),
+reach(a, b) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.a, u2.v FROM reach r JOIN und u2 ON r.b = u2.u
+)
+SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+""",
+)
+def graph_components(spark, sf_dir):
+    """Dup-cluster grouping: connected components (large-star/small-star,
+    O(log n) rounds) over the trigram-Jaccard near-dup edges; the DuckDB
+    oracle computes the same labels by transitive closure."""
+    from lectura.graphops import connected_components
+
+    return connected_components(_sim_edges(spark, sf_dir), src="d1", dst="d2")
+
+
+@q("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Centrality over the similarity graph: 8 power iterations,
+    damping 0.85, undirected edges; rank rounded to 4dp on both engines
+    so IEEE summation order can't flip the value hash."""
+    from lectura.graphops import pagerank
+
+    return pagerank(
+        _sim_edges(spark, sf_dir), src="d1", dst="d2",
+        damping=0.85, iters=8, undirected=True,
+    ).select("node", F.round("rank", 4).alias("rank"))
+
+
 # Text quality scoring (length / stopword / vocabulary-diversity signals)
 @q(
     "text_quality",

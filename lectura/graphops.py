@@ -1,0 +1,169 @@
+"""Distributed graph operators for web-scale dedup / curation pipelines.
+
+Two operators that standard training-data pipelines layer on top of the
+near-dup pair generators (textops.py): grouping pairwise duplicate edges
+into clusters (connected components — pick one representative per
+cluster), and centrality scoring over a similarity or link graph
+(PageRank — used for graph-based data selection and crawl
+prioritization).
+
+Scale design (the 100 TB story):
+
+* ``connected_components`` is the alternating large-star / small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC 2014): each round is two hash aggregations + two
+  equi-joins on node id, and the edge set converges in O(log n) rounds
+  even on path graphs — label propagation by contrast needs
+  O(diameter) rounds. No step ever materializes a component in one
+  task, so a 10^9-node dup graph with one giant component still
+  partitions evenly by node id (AQE handles residual skew from
+  high-degree hub nodes).
+* ``pagerank`` is the classic power iteration as a per-round
+  join + hash aggregation on node id; degree and rank vectors are
+  node-partitioned, edges stream against them. Fixed iteration count
+  keeps it deterministic and makes the oracle expressible as unrolled
+  SQL.
+* Both loops truncate lineage every round (``localCheckpoint``); on a
+  real cluster configure ``spark.sparkContext.setCheckpointDir`` and
+  swap to reliable ``checkpoint()`` so executor loss cannot replay the
+  whole iteration history.
+
+Reference: /root/reference is empty (SURVEY.md §0) — the operator set
+follows SURVEY.md §2's dedup track and the public large-star/small-star
+and PageRank formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected form: one row (u, v) per edge with u > v."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to the minimum
+    of its inclusive neighborhood. Input/output: canonical (u > v)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and the node itself) to
+    the minimum of the inclusive neighborhood. Input/output: canonical."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    j = e.join(mins, "u")
+    moved = (
+        j.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    kept = j.select("u", F.col("m").alias("v"))
+    return moved.unionByName(kept).distinct()
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 30) -> DataFrame:
+    """Label every node of an undirected graph with the minimum node id
+    of its component.
+
+    ``edges``: DataFrame with two integral node-id columns; direction and
+    duplicates are ignored, self-loops dropped. Returns (node, component)
+    with one row per node that appears in at least one edge — singleton
+    handling (nodes with no edges) is the caller's union, since this
+    operator never sees them.
+
+    Alternates large-star / small-star until the canonical edge set is a
+    fixpoint (converged edges form stars pointing at component roots),
+    O(log n) rounds. Raises if ``max_iter`` rounds don't converge.
+    """
+    e = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count("*").alias("c"),
+            # bit_xor: order-insensitive, cannot overflow under ANSI mode
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).head()
+        sig = (sig["c"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"no convergence in {max_iter} rounds")
+    # converged: every edge is (node, root); roots label themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 8,
+             undirected: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank; returns (node, rank).
+
+    With ``undirected=True`` each edge contributes both directions, so
+    every node has in-degree ≥ 1 and there are no dangling nodes; ranks
+    sum to ~1 over the nodes of the edge set. Deterministic up to IEEE
+    summation order (consumers should round before hashing results).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if undirected:
+        sym = sym.unionByName(
+            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    sym = sym.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("u").alias("node"), "deg").localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / n
+    pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(
+                pr.join(nodes, "node").select(
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        pr = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return pr

@@ -1,0 +1,103 @@
+"""graphops.py vs pure-Python oracles: union-find for connected
+components, numpy power iteration for PageRank."""
+
+import random
+
+import pytest
+
+from lectura.graphops import connected_components, pagerank
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label = min node id of the component
+    label = {}
+    for x in list(parent):
+        r = find(x)
+        label.setdefault(r, r)
+        label[r] = min(label[r], x)
+    return {x: label[find(x)] for x in parent}
+
+
+GRAPHS = {
+    # O(diameter) label propagation would need 60 rounds on the path;
+    # large-star/small-star must converge in O(log n)
+    "path60": [(i, i + 1) for i in range(60)],
+    "two_cliques_bridge": (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(i, j) for i in range(100, 106) for j in range(i + 1, 106)]
+        + [(4, 100)]
+    ),
+    "star": [(0, i) for i in range(1, 40)],
+    "self_loops_and_dups": [(1, 1), (2, 3), (3, 2), (2, 3), (7, 7), (5, 4)],
+}
+
+
+def _random_graph(seed, n=80, m=100):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+for s in (1, 2, 3):
+    GRAPHS[f"random{s}"] = _random_graph(s)
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_components_match_union_find(spark, name):
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components([(u, v) for u, v in edges if u != v])
+    assert got == want
+
+
+def test_components_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def _np_pagerank(edges, damping=0.85, iters=8):
+    import numpy as np
+
+    sym = {(u, v) for u, v in edges if u != v}
+    sym |= {(v, u) for u, v in sym}
+    nodes = sorted({u for u, _ in sym})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    deg = [0] * n
+    for u, _ in sym:
+        deg[idx[u]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for u, v in sym:
+            nxt[idx[v]] += damping * pr[idx[u]] / deg[idx[u]]
+        pr = nxt
+    return {x: pr[idx[x]] for x in nodes}
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "random1", "star"])
+def test_pagerank_matches_power_iteration(spark, name):
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    want = _np_pagerank(edges)
+    assert set(got) == set(want)
+    for x in want:
+        assert got[x] == pytest.approx(want[x], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
