@@ -151,16 +151,18 @@ def asof_fetch(pages: DataFrame, scheduled: DataFrame, round_ts, cfg,
     ]
     cap_keys = ["url", "warc_ts", "_cap_f", "_cap_i"]
     sched_slim = scheduled.select("url", "depth", "score")
-    # The semi filter joins the SAME sched_slim subtree that the final
-    # join uses (dropping the ride-along columns afterwards) so the two
-    # BroadcastExchanges are identical and ReuseExchange builds one
-    # broadcast instead of two — broadcast builds are per-round serial
-    # latency.
+    # depth/score ride along through the winner pick (they are constant
+    # per url, the window's partition key), so the winners row already
+    # carries everything the extraction needs — ONE broadcast of the
+    # scheduled set and ONE of the winners, no second scheduled join-back
+    # (broadcast builds are per-round serial latency; a prior attempt to
+    # share one sched_slim broadcast between a semi filter and a final
+    # join was defeated by Catalyst column pruning, which specialized the
+    # semi side to url-only and produced two distinct exchanges anyway).
     slim = (
         pages.select("url", "warc_ts", *cap_cols)
         .filter(F.col("warc_ts") <= F.lit(round_ts))
         .join(bc(sched_slim), "url")
-        .drop("depth", "score")
     )
     w_asof = Window.partitionBy("url").orderBy(
         F.desc("warc_ts"), F.desc("_cap_f"), F.desc("_cap_i")
@@ -181,13 +183,11 @@ def asof_fetch(pages: DataFrame, scheduled: DataFrame, round_ts, cfg,
         fetch_meta = pages.select(
             "url", "warc_ts", "warc_file", "warc_offset", "warc_len",
             *cap_cols
-        ).join(bc(winners), cap_keys).drop("_cap_f", "_cap_i").join(
-            bc(sched_slim), "url"
-        )
+        ).join(bc(winners), cap_keys).drop("_cap_f", "_cap_i")
         return fetch_meta.repartition(n_extract_parts), True
     latest = pages.select("url", "warc_ts", "html", *cap_cols).join(
         bc(winners), cap_keys
-    ).drop("_cap_f", "_cap_i").join(bc(sched_slim), "url")
+    ).drop("_cap_f", "_cap_i")
     return latest.repartition(n_extract_parts), False
 
 

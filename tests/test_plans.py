@@ -118,6 +118,24 @@ def test_warc_fetch_plan_no_wide_exchange_and_broadcasts(spark, tmp_path):
         assert "html" not in cols and "bits" not in cols, plan
 
 
+def test_warc_fetch_plan_two_broadcast_builds(spark, tmp_path):
+    """The fetch join builds exactly TWO broadcasts per round — the
+    scheduled set (winner-pick filter) and the winners — because
+    depth/score ride through the as-of window instead of a second
+    scheduled join-back. A third BroadcastExchange means the join-back
+    crept back in (one broadcast build per round is serial latency)."""
+    pages = _pages_table(spark, tmp_path, warc=True)
+    df, _ = asof_fetch(pages, _sched(spark), pd.Timestamp("2026-01-01"),
+                       CrawlConfig(), n_scheduled=50, n_extract_parts=8)
+    plan = plan_of(df)
+    n_builds = len(
+        [b for b in re.split(r"\n\(\d+\) ", plan)
+         if b.startswith("BroadcastExchange")]
+    )
+    assert n_builds == 2, plan
+    assert "depth" in df.columns and "score" in df.columns
+
+
 def test_html_fetch_plan_shuffles_html_only_final_roundrobin(spark, tmp_path):
     """HTML path: the winner-pick and join-back never put html through a
     hash/single-partition Exchange; the one permitted html shuffle is the
