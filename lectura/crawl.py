@@ -450,31 +450,30 @@ class Crawler:
         # Sound because same-raw ⇒ same-canonical and the kept row
         # dominates the dropped ones under dedupe_frontier's global order
         # (SEMANTICS.md §4); dedupe_frontier still merges across raw
-        # variants afterwards.
-        children_best = (
-            children_raw.groupBy("url")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("score")).alias("_ns"),
-                        F.col("depth").alias("depth"),
-                        F.col("src_url").alias("src_url"),
-                        F.col("score").alias("score"),
-                    )
-                ).alias("_b")
+        # variants afterwards. Outlinks are already canonical (X1
+        # canonicalizes at resolve time), so with_url_parts only derives
+        # host/hrk/path_q — no second canonicalize pass through Python.
+        def reduce_children(src: DataFrame) -> DataFrame:
+            return with_url_parts(
+                src.groupBy("url")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("score")).alias("_ns"),
+                            F.col("depth").alias("depth"),
+                            F.col("src_url").alias("src_url"),
+                            F.col("score").alias("score"),
+                        )
+                    ).alias("_b")
+                )
+                .select(
+                    "url",
+                    F.col("_b.depth").alias("depth"),
+                    F.col("_b.score").alias("score"),
+                    F.col("_b.src_url").alias("src_url"),
+                )
+                .withColumn("discovered_ts", F.lit(round_ts))
             )
-            .select(
-                "url",
-                F.col("_b.depth").alias("depth"),
-                F.col("_b.score").alias("score"),
-                F.col("_b.src_url").alias("src_url"),
-            )
-            .withColumn("discovered_ts", F.lit(round_ts))
-        )
-        # Outlinks are already canonical (X1 canonicalizes at resolve
-        # time), so only derive host/hrk/path_q — no second canonicalize
-        # pass through Python.
-        children = with_url_parts(children_best)
 
         leftovers = allowed.join(bc(scheduled.select("url")), "url", "left_anti")
         new_seen = scheduled.select("url").unionByName(blocked).distinct().cache()
@@ -482,17 +481,41 @@ class Crawler:
         # while its footer-counted row bound stays under the gate, else
         # shuffle (same scale rule as host_state).
         seen_rows = wh.approx_rows("seen") + 2 * n_scheduled
-        bc_seen = (F.broadcast if seen_rows <= cfg.broadcast_max_rows
-                   else (lambda df: df))
-        next_frontier = (
-            dedupe_frontier(
-                leftovers.select(*children.columns)
-                .unionByName(children.select(*children.columns))
+        seen_all = seen.select("url").unionByName(new_seen)
+        if seen_rows <= cfg.broadcast_max_rows:
+            # Seen-filter EARLY, while it is a broadcast-hash anti-join:
+            # children link overwhelmingly to just-scheduled pages (nav
+            # structure), so filtering before the pre-reduce groupBy and
+            # the dedupe window kills most child rows in the scan stage —
+            # before either shuffle. Sound because an anti-join on url
+            # commutes with per-url best-row selection (dedupe_frontier)
+            # and with the same-url pre-reduce: dropping ALL rows of a
+            # seen url before or after picking its best row leaves the
+            # same survivor set (SEMANTICS.md §4). children_raw is
+            # filtered upstream of its groupBy so the partial agg and the
+            # parts-UDF see only surviving urls.
+            bseen = F.broadcast(seen_all)
+            children = reduce_children(
+                children_raw.join(bseen, "url", "left_anti")
             )
-            .join(bc_seen(seen.select("url").unionByName(new_seen)),
-                  "url", "left_anti")
-            .withColumn("for_round", F.lit(rnd + 1))
-        )
+            next_frontier = dedupe_frontier(
+                leftovers.join(bseen, "url", "left_anti")
+                .select(*children.columns)
+                .unionByName(children)
+            ).withColumn("for_round", F.lit(rnd + 1))
+        else:
+            # seen outgrew the broadcast gate: a shuffled anti-join is
+            # cheapest AFTER dedupe (fewer, distinct rows through the
+            # join's exchange), so filter late and let AQE pick.
+            children = reduce_children(children_raw)
+            next_frontier = (
+                dedupe_frontier(
+                    leftovers.select(*children.columns)
+                    .unionByName(children)
+                )
+                .join(seen_all, "url", "left_anti")
+                .withColumn("for_round", F.lit(rnd + 1))
+            )
 
         # ---- writes (all appended, committed atomically via RoundLog) -----
         # Materialize the two shared caches with cheap actions first, then

@@ -66,35 +66,38 @@ def host_delay_table(rules_df: DataFrame) -> DataFrame:
 def apply_robots(cand: DataFrame, rules_df: DataFrame) -> DataFrame:
     """R2+R3: annotate candidates (url, host, path_q, …) with `allowed`.
 
-    Broadcast-join rules by host, regex-match each rule against the URL's
-    path?query, rank matches by (priority desc, allow-beats-disallow on
-    ties), keep the winner; no matching rule (or no rules) => allowed.
-    """
-    path_rules = rules_df.filter(F.col("pattern") != "").select(
-        "host",
-        "rule_type",
-        "regex",
-        "priority",
-        (F.col("rule_type") == "allow").cast("int").alias("is_allow"),
-    )
-    j = cand.join(F.broadcast(path_rules), "host", "left")
-    matched = F.col("regex").isNotNull() & F.expr("path_q rlike regex")
-    j = j.withColumn(
-        "m_priority", F.when(matched, F.col("priority")).otherwise(F.lit(None))
-    ).withColumn(
-        "m_is_allow", F.when(matched, F.col("is_allow")).otherwise(F.lit(None))
-    )
-    w = Window.partitionBy("url").orderBy(
-        F.desc_nulls_last("m_priority"), F.desc_nulls_last("m_is_allow")
-    )
-    winner = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn(
-            "allowed",
-            F.col("m_priority").isNull() | (F.col("m_is_allow") == 1),
+    Shuffle-free longest-match: each host's path rules are collected into
+    ONE array row (a small agg over the tiny static rules table), broadcast
+    -joined onto candidates, and the winner is resolved per-row with JVM
+    higher-order functions — `filter` keeps the rules whose regex matches
+    the URL's path?query, `array_max` picks the best by (priority desc,
+    allow-beats-disallow on ties) via struct ordering. No matching rule
+    (or no rules for the host) => allowed.
+
+    The previous shape (broadcast-join the FLAT rule rows, then a
+    row_number window partitioned by url to keep the winner) fanned every
+    candidate out by its host's rule count and then shuffled the fan-out —
+    the largest exchange in the schedule phase. Per-row lambda evaluation
+    does the same work inside the scan stage."""
+    rule_arrays = (
+        rules_df.filter(F.col("pattern") != "")
+        .groupBy("host")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("priority"),
+                    (F.col("rule_type") == "allow").cast("int")
+                    .alias("is_allow"),
+                    F.col("regex"),
+                )
+            ).alias("_rules")
         )
-        .drop("rule_type", "regex", "priority", "is_allow", "m_priority",
-              "m_is_allow", "_rn")
     )
-    return winner
+    j = cand.join(F.broadcast(rule_arrays), "host", "left")
+    best = F.array_max(
+        F.filter("_rules", lambda r: F.regexp_like(F.col("path_q"), r["regex"]))
+    )
+    return j.withColumn(
+        "allowed",
+        F.col("_rules").isNull() | best.isNull() | (best["is_allow"] == 1),
+    ).drop("_rules")
