@@ -869,9 +869,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, min_inter=2)
 
 
-# MinHash+LSH near-dup (banded signatures; hash engine-specific → rows-only,
-# parity + recall proven in tests/test_textops.py against the pure oracle)
-@q("dedup_minhash_lsh", None)
+# MinHash+LSH near-dup. Full DuckDB oracle: the shingle/band hash is
+# Spark's xxhash64, re-implemented in pure SQL (lectura/oracle_sql.py —
+# HUGEINT arithmetic validated against the public XXH64 vectors and
+# against Spark in tests/test_oracle_sql.py); signatures, banding and
+# est_jaccard are mirrored exactly.
+from lectura import oracle_sql as _osql  # noqa: E402
+
+
+@q("dedup_minhash_lsh", _osql.dedup_minhash_lsh_sql(min_est_jaccard=0.4))
 def dedup_minhash_lsh(spark, sf_dir):
     from lectura.textops import minhash_lsh_pairs
 
@@ -879,8 +885,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, k=32, bands=8, min_est_jaccard=0.4)
 
 
-# SimHash near-dup (rows-only; pytest-verified vs pure simhash)
-@q("dedup_simhash", None)
+# SimHash near-dup. Full DuckDB oracle: FNV-1a word hashes + the 64
+# per-bit majority sums + 4×16-bit pigeonhole banding in pure SQL.
+@q("dedup_simhash", _osql.dedup_simhash_sql(max_hamming=8))
 def dedup_simhash(spark, sf_dir):
     from lectura.textops import simhash_pairs
 
@@ -1173,9 +1180,10 @@ def token_count(spark, sf_dir):
     )
 
 
-# Rolling-hash fingerprint (order-sensitive; engine-neutral pure fn →
-# rows-only here, exact parity vs pure python in tests/test_textops.py)
-@q("fingerprint_rolling", None)
+# Rolling-hash fingerprint. Full DuckDB oracle: FNV-1a per word + the
+# order-sensitive polynomial fold as HUGEINT list_reduce (oracle_sql.py);
+# exact parity vs pure python additionally in tests/test_textops.py.
+@q("fingerprint_rolling", _osql.fingerprint_rolling_sql())
 def fingerprint_rolling(spark, sf_dir):
     from lectura.textops import rolling_fingerprint_udf
 
@@ -1343,9 +1351,9 @@ def url_parts_u2(spark, sf_dir):
     )
 
 
-# U5/U6 — host_bucket + salt distribution (xxhash64 is engine-specific →
-# rows-only; structural invariants asserted in tests/test_operators.py)
-@q("host_bucket_u5", None)
+# U5/U6 — host_bucket + salt distribution. Full DuckDB oracle via the
+# pure-SQL xxhash64 (oracle_sql.py) + pmod, mirroring urlnorm.host_bucket.
+@q("host_bucket_u5", _osql.host_bucket_u5_sql(buckets=32))
 def host_bucket_u5(spark, sf_dir):
     from lectura.urlnorm import host_bucket, salt
 
@@ -1554,9 +1562,10 @@ def map_fns(spark, sf_dir):
     )
 
 
-# U4 — stable 64-bit url hash (xxhash64 seeds differ from DuckDB's hash →
-# rows-only; fixed vectors pinned in tests/test_urlnorm.py)
-@q("url_hash_u4", None)
+# U4 — stable 64-bit url hash. Full DuckDB oracle: xxhash64 (seed 42)
+# re-implemented in pure SQL (oracle_sql.py); fixed vectors additionally
+# pinned in tests/test_urlnorm.py.
+@q("url_hash_u4", _osql.url_hash_u4_sql())
 def url_hash_u4(spark, sf_dir):
     from lectura.urlnorm import url_key
 
@@ -1574,9 +1583,9 @@ def url_hash_u4(spark, sf_dir):
 
 
 # U6 — mega-host salt key: salting must spread one host's urls near-evenly
-# across salt buckets (distribution property → rows-only; parallelism
-# invariance of downstream ordering is pytest-verified)
-@q("salt_u6", None)
+# across salt buckets. Full DuckDB oracle via the pure-SQL xxhash64;
+# parallelism invariance of downstream ordering is pytest-verified.
+@q("salt_u6", _osql.salt_u6_sql(buckets=8))
 def salt_u6(spark, sf_dir):
     from lectura.urlnorm import salt
 

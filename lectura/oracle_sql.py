@@ -1,0 +1,340 @@
+"""Generated DuckDB oracle SQL for hash-based operators (SURVEY.md §5).
+
+These builders turn previously rows-only contract queries into fully
+hash-checked ones by re-implementing the engine hash functions in pure
+DuckDB SQL — an INDEPENDENT second implementation, not shared code:
+
+- FNV-1a 64 + the rolling polynomial fingerprint and simhash64 (the
+  engine-neutral pure spec in lectura/pure/fingerprint.py) as
+  HUGEINT folds (`list_reduce`) over per-word codepoints;
+- xxHash64 (seed 42 — the exact hash behind Spark's `xxhash64()`,
+  validated against the public XXH64 sanity vectors AND against Spark
+  in tests/test_oracle_sql.py) as a CTE chain of HUGEINT arithmetic:
+  32-byte stripe folds, 8/4/1-byte tails, avalanche. u64 wraparound is
+  emulated with `% 2^64`; u64×u64 products overflow INT128, so
+  multiplication is split into 32-bit limbs (`_mul`); XOR runs in the
+  UBIGINT domain.
+
+ASCII assumption: byte value == codepoint (`unicode(s[i])`). All fixture
+inputs are ASCII (checked: documents/url strings at every sf); a
+non-ASCII corpus would need a byte-level `encode()` accessor instead.
+
+Only arithmetic-expressible hashes are oracled this way. Engine-internal
+or RNG-seeded operators (bloom bit layout, HLL sketches, gaussian LSH
+planes, k-means centroids) stay rows-only with pytest invariants.
+"""
+
+from __future__ import annotations
+
+M = "18446744073709551616::HUGEINT"  # 2^64
+SEED = 42  # Spark's xxhash64 default seed
+_P = {
+    1: 11400714785074694791,
+    2: 14029467366897019727,
+    3: 1609587929392839161,
+    4: 9650029242287828579,
+    5: 2870177450012600261,
+}
+
+# FNV-1a 64 constants (lectura/pure/fingerprint.py)
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_ROLL_BASE = 1_000_003
+_ROLL_MOD = (1 << 61) - 1
+_MH_P = (1 << 31) - 1
+
+
+def _mul(a: str, const: int) -> str:
+    """(a * const) % 2^64 via 32-bit limb split (a < 2^64; the direct
+    HUGEINT product of two u64 can exceed INT128)."""
+    return (
+        f"((( ({a}) % 4294967296::HUGEINT) * {const}::HUGEINT"
+        f" + (( ({a}) // 4294967296::HUGEINT) * {const}::HUGEINT"
+        f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {M})"
+    )
+
+
+def _xor(a: str, b: str) -> str:
+    return f"xor(({a})::UBIGINT, ({b})::UBIGINT)::HUGEINT"
+
+
+def _rotl(x: str, r: int) -> str:
+    # disjoint bit ranges, so + is |
+    return f"((({x}) * {1 << r}::HUGEINT) % {M} + ({x}) // {1 << (64 - r)}::HUGEINT)"
+
+
+def _rnd(acc: str, inp: str) -> str:
+    t = f"((({acc}) + {_mul(inp, _P[2])}) % {M})"
+    return _mul(_rotl(t, 31), _P[1])
+
+
+def _merge(acc: str, v: str) -> str:
+    return f"(({_mul(_xor(acc, _rnd('0::HUGEINT', v)), _P[1])} + {_P[4]}::HUGEINT) % {M})"
+
+
+def _read(base: str, nbytes: int) -> str:
+    """Little-endian read of `nbytes` from 1-based byte list `bs` starting
+    after 0-based offset expression `base`."""
+    return (
+        "("
+        + " + ".join(
+            f"bs[({base}) + {j + 1}] * {1 << (8 * j)}::HUGEINT"
+            for j in range(nbytes)
+        )
+        + ")"
+    )
+
+
+def xxhash64_ctes(src: str, col: str, out: str = "xx", p: str = "x") -> str:
+    """CTE chain `<p>1..<p>7` computing signed xxhash64(col, seed=42) for
+    every row of relation `src`; `<p>7` carries all of src's columns plus
+    `out`. Prefix `p` lets two chains coexist in one statement."""
+    seed = f"{SEED}::HUGEINT"
+    v1_0 = f"(({seed} + {_P[1]}::HUGEINT + {_P[2]}::HUGEINT) % {M})"
+    v2_0 = f"(({seed} + {_P[2]}::HUGEINT) % {M})"
+    v3_0 = seed
+    v4_0 = f"(({seed} + {M} - {_P[1]}::HUGEINT) % {M})"
+    stripe = f"""list_transform(range(0, n // 32), k -> struct_pack(
+        w1 := {_read('k*32', 8)}, w2 := {_read('k*32 + 8', 8)},
+        w3 := {_read('k*32 + 16', 8)}, w4 := {_read('k*32 + 24', 8)}))"""
+    lanes = f"""list_reduce(list_prepend(
+        struct_pack(w1 := {v1_0}, w2 := {v2_0}, w3 := {v3_0}, w4 := {v4_0}),
+        {stripe}),
+        (a, e) -> struct_pack(
+          w1 := {_rnd('a.w1', 'e.w1')}, w2 := {_rnd('a.w2', 'e.w2')},
+          w3 := {_rnd('a.w3', 'e.w3')}, w4 := {_rnd('a.w4', 'e.w4')}))"""
+    h_big = (
+        f"(({_rotl('v.w1', 1)}) + ({_rotl('v.w2', 7)}) + "
+        f"({_rotl('v.w3', 12)}) + ({_rotl('v.w4', 18)})) % {M}"
+    )
+    h_merged = _merge(
+        _merge(_merge(_merge(f"({h_big})", "v.w1"), "v.w2"), "v.w3"), "v.w4"
+    )
+    t8 = f"""list_reduce(list_prepend(h1, list_transform(
+        range(0, (n - n // 32 * 32) // 8),
+        k -> {_read('n // 32 * 32 + k*8', 8)})),
+        (h, e) -> ({_mul(_rotl(_xor('h', _rnd('0::HUGEINT', 'e')), 27), _P[1])} + {_P[4]}::HUGEINT) % {M})"""
+    o4 = "(n // 32 * 32 + (n - n // 32 * 32) // 8 * 8)"
+    t4 = f"""CASE WHEN n - {o4} >= 4
+        THEN ({_mul(_rotl(_xor('h2', _mul(_read(o4, 4), _P[1])), 23), _P[2])} + {_P[3]}::HUGEINT) % {M}
+        ELSE h2 END"""
+    ob = f"({o4} + CASE WHEN n - {o4} >= 4 THEN 4 ELSE 0 END)"
+    tb = f"""list_reduce(list_prepend(h3, list_transform(
+        range({ob}, n), i -> bs[i + 1])),
+        (h, e) -> {_mul(_rotl(_xor('h', _mul('e', _P[5])), 11), _P[1])})"""
+    av1 = _xor("h4", "h4 // 8589934592::HUGEINT")  # >> 33
+    av2 = _mul(av1, _P[2])
+    av3 = _xor(av2, f"({av2}) // 536870912::HUGEINT")  # >> 29
+    av4 = _mul(av3, _P[3])
+    av5 = _xor(av4, f"({av4}) // 4294967296::HUGEINT")  # >> 32
+    return f"""
+{p}1 AS (SELECT *,
+        list_transform(range(1, length({col}) + 1),
+                       i -> unicode(({col})[i])::HUGEINT) AS bs,
+        octet_length(encode({col}))::BIGINT AS n
+       FROM {src}),
+{p}2 AS (SELECT *, CASE WHEN n >= 32 THEN {lanes} END AS v FROM {p}1),
+{p}3 AS (SELECT *,
+        (CASE WHEN n >= 32 THEN ({h_merged})
+              ELSE ({seed} + {_P[5]}::HUGEINT) % {M} END + n::HUGEINT) % {M} AS h1
+       FROM {p}2),
+{p}4 AS (SELECT *, {t8} AS h2 FROM {p}3),
+{p}5 AS (SELECT *, {t4} AS h3 FROM {p}4),
+{p}6 AS (SELECT *, {tb} AS h4 FROM {p}5),
+{p}7 AS (SELECT * EXCLUDE (bs, n, v, h1, h2, h3, h4),
+        CASE WHEN ({av5}) >= 9223372036854775808::HUGEINT
+             THEN (({av5}) - {M})::BIGINT ELSE ({av5})::BIGINT END AS {out}
+       FROM {p}6)"""
+
+
+def pmod(expr: str, m: int) -> str:
+    """Non-negative mod of a signed BIGINT expression (Spark F.pmod)."""
+    return f"((({expr}) % {m}) + {m}) % {m}"
+
+
+# ---------------------------------------------------------------------------
+# FNV-1a fold pieces (shared by the fingerprint + simhash oracles)
+# ---------------------------------------------------------------------------
+_FNV_FOLD = f"""list_reduce(
+      list_prepend({_FNV_OFFSET}::HUGEINT,
+        list_transform(range(1, length(w) + 1), i -> unicode(w[i])::HUGEINT)),
+      (h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                 * {_FNV_PRIME}::HUGEINT) % {M})"""
+
+
+def _words_ctes(where: str = "") -> str:
+    """words/tok/vocab/fnv CTEs over `documents` (whitespace tokens, FNV
+    per distinct word — the fixture vocab is tiny, so hashing per distinct
+    word instead of per occurrence keeps the fold count low)."""
+    return rf"""words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws
+  FROM documents {where}
+), tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w FROM words
+), vocab AS (SELECT DISTINCT w FROM tok),
+fnv AS (SELECT w, {_FNV_FOLD} AS f FROM vocab)"""
+
+
+def fingerprint_rolling_sql() -> str:
+    """Order-sensitive rolling polynomial fingerprint per document."""
+    return f"""
+WITH {_words_ctes()},
+doc_fps AS (
+  SELECT t.doc_id,
+    list_reduce(list_prepend(0::HUGEINT, list(fnv.f ORDER BY t.pos)),
+      (h, f) -> (h * {_ROLL_BASE}::HUGEINT + f) % {_ROLL_MOD}::HUGEINT) AS fp_c
+  FROM tok t JOIN fnv USING (w) GROUP BY t.doc_id
+)
+SELECT w2.doc_id, coalesce(d.fp_c, 0)::BIGINT AS fp
+FROM words w2 LEFT JOIN doc_fps d USING (doc_id)
+"""
+
+
+def dedup_simhash_sql(max_hamming: int = 8, max_doc_id: int = 300) -> str:
+    """SimHash near-dup pairs: per-doc 64-bit signature from the 64
+    per-bit majority sums, 4×16-bit pigeonhole banding, exact hamming."""
+    bits = " +\n".join(
+        f"    CASE WHEN 2*sum(((f // {1 << i}::HUGEINT) % 2)::BIGINT) > count(*)"
+        f" THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+WITH {_words_ctes(f"WHERE doc_id < {max_doc_id}")},
+sh0 AS (
+  SELECT doc_id,
+{bits}
+  AS u
+  FROM tok JOIN fnv USING (w) GROUP BY doc_id
+), sh AS (
+  SELECT w2.doc_id AS id, coalesce(sh0.u, 0::HUGEINT) AS u,
+         (CASE WHEN coalesce(sh0.u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+               THEN coalesce(sh0.u, 0::HUGEINT) - {M}
+               ELSE coalesce(sh0.u, 0::HUGEINT) END)::BIGINT AS s
+  FROM words w2 LEFT JOIN sh0 USING (doc_id)
+), chunks AS (
+  SELECT id, u, s, c,
+         ((u // (CASE c WHEN 0 THEN 1 WHEN 1 THEN 65536
+                        WHEN 2 THEN 4294967296
+                        ELSE 281474976710656 END::HUGEINT))
+          % 65536)::BIGINT AS val
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
+)
+SELECT DISTINCT a.id AS d1, b.id AS d2, bit_count(xor(a.s, b.s)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.val = b.val AND a.id < b.id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# xxhash64-based oracles (U4/U5/U6 + MinHash LSH)
+# ---------------------------------------------------------------------------
+def url_hash_u4_sql() -> str:
+    urls = (
+        "SELECT 'http://host' || (c_custkey % 97)::VARCHAR"
+        " || '.example/c/' || c_custkey::VARCHAR AS url FROM customer"
+    )
+    return f"""
+WITH inputs AS ({urls}),{xxhash64_ctes("inputs", "url", out="h")}
+SELECT count(*) AS n, count(DISTINCT h) AS n_distinct,
+       min(h) AS min_h, max(h) AS max_h
+FROM x7
+"""
+
+
+def host_bucket_u5_sql(buckets: int = 32) -> str:
+    hosts = (
+        "SELECT 'host' || (c_custkey % 37)::VARCHAR || '.example' AS host"
+        " FROM customer"
+    )
+    return f"""
+WITH inputs AS ({hosts}),{xxhash64_ctes("inputs", "host", out="h")}
+SELECT ({pmod('h', buckets)})::INT AS bucket,
+       count(*) AS n, count(DISTINCT host) AS n_hosts
+FROM x7 GROUP BY 1
+"""
+
+
+def salt_u6_sql(buckets: int = 8) -> str:
+    urls = (
+        "SELECT 'http://mega.example/o/' || o_orderkey::VARCHAR AS url"
+        " FROM orders"
+    )
+    return f"""
+WITH inputs AS ({urls}),{xxhash64_ctes("inputs", "url", out="h")},
+by_bucket AS (
+  SELECT {pmod('h', buckets)} AS s, count(*) AS cnt FROM x7 GROUP BY 1
+)
+SELECT count(*) AS n_buckets, min(cnt) AS min_n, max(cnt) AS max_n
+FROM by_bucket
+"""
+
+
+def dedup_minhash_lsh_sql(k: int = 32, bands: int = 8, n: int = 3,
+                          min_est_jaccard: float = 0.5,
+                          max_doc_id: int = 300) -> str:
+    """MinHash+LSH pairs, faithfully mirroring textops.minhash_lsh_pairs:
+    word n-gram shingles (DISTINCT per doc), shingle hash =
+    pmod(xxhash64(shingle), p), K permutation mins, band buckets =
+    xxhash64 of the comma-joined row slice, candidate pairs by (band,
+    bucket) equi-join, est_jaccard = matching-position fraction."""
+    from lectura.pure.fingerprint import minhash_params
+
+    r = k // bands
+    params = minhash_params(k)
+    mins = ",\n".join(
+        f"    min(({a}::BIGINT * sh + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    sig_arr = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
+    band_strs = ",\n".join(
+        "    ("
+        + " || ',' || ".join(f"m{bi * r + j}::VARCHAR" for j in range(r))
+        + f") AS band{bi}"
+        for bi in range(bands)
+    )
+    band_unpivot = " UNION ALL ".join(
+        f"SELECT id, sig, {bi} AS band, band{bi} AS bstr FROM sigs"
+        for bi in range(bands)
+    )
+    # shingles: mirror word_ngrams (slice-of-n join; short docs produce
+    # their full-word join; empty shingles dropped; DISTINCT per doc)
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {max_doc_id}
+), sh_all AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                 for i in generate_series(1, greatest(len(w) - {n - 1}, 1))]) AS s
+  FROM words
+), shingle_rows AS (SELECT doc_id, s FROM sh_all WHERE s <> ''),
+svocab AS (SELECT DISTINCT s FROM shingle_rows),
+{xxhash64_ctes("svocab", "s", out="sxx", p="sx").lstrip()},
+shash AS (SELECT s, {pmod('sxx', _MH_P)} AS sh FROM sx7),
+mh AS (
+  SELECT r.doc_id AS id,
+{mins}
+  FROM shingle_rows r JOIN shash USING (s) GROUP BY r.doc_id
+), sigs AS (
+  SELECT id, {sig_arr} AS sig,
+{band_strs}
+  FROM mh
+), band_rows AS ({band_unpivot}),
+{xxhash64_ctes("band_rows", "bstr", out="bucket", p="bx").lstrip()},
+cand AS (
+  SELECT DISTINCT a.id AS d1, b.id AS d2,
+         a.sig AS sig1, b.sig AS sig2
+  FROM bx7 a JOIN bx7 b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT d1, d2,
+       round(length(list_filter(range(1, {k + 1}),
+                                i -> sig1[i] = sig2[i])) / {float(k)}, 4)
+         AS est_jaccard
+FROM cand
+WHERE round(length(list_filter(range(1, {k + 1}),
+                               i -> sig1[i] = sig2[i])) / {float(k)}, 4)
+      >= {min_est_jaccard}
+"""
