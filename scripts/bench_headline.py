@@ -16,7 +16,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def gen_corpus(corpus_dir: str, n_urls: int, scratch: str) -> None:
+def gen_corpus(corpus_dir: str, n_urls: int, scratch: str,
+               n_seeds: int | None = None) -> None:
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS",
                           ("--driver-memory 16g --driver-java-options "
          '"-XX:+ExplicitGCInvokesConcurrent -XX:+ParallelRefProcEnabled" '
@@ -35,7 +36,7 @@ def gen_corpus(corpus_dir: str, n_urls: int, scratch: str) -> None:
                       extra={"spark.local.dir": gen_local})
     t0 = time.time()
     p = SynthParams(n_urls=n_urls, n_hosts=max(50, n_urls // 100),
-                    n_seeds=max(200, n_urls // 20), body_kb=48.0,
+                    n_seeds=n_seeds or max(200, n_urls // 20), body_kb=48.0,
                     with_text=False)
     pages, seeds, robots = materialize_corpus_warc(spark, p,
                                                    f"{corpus_dir}/warc")
@@ -57,6 +58,8 @@ def main() -> None:
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--n-urls", type=int, default=1_000_000)
+    ap.add_argument("--n-seeds", type=int, default=None,
+                    help="default n_urls//20; bench.py uses n_urls//5")
     ap.add_argument("--gen", action="store_true", help="(re)generate corpus")
     ap.add_argument("--trace", action="store_true")
     args = ap.parse_args()
@@ -64,7 +67,7 @@ def main() -> None:
     scratch = os.path.dirname(args.corpus.rstrip("/")) or "/dev/shm/lectura_hb"
     os.makedirs(scratch, exist_ok=True)
     if args.gen or not os.path.isdir(os.path.join(args.corpus, "pages")):
-        gen_corpus(args.corpus, args.n_urls, scratch)
+        gen_corpus(args.corpus, args.n_urls, scratch, n_seeds=args.n_seeds)
 
     env = dict(os.environ)
     env["PYSPARK_SUBMIT_ARGS"] = ("--driver-memory 16g --driver-java-options "
