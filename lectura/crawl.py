@@ -26,7 +26,8 @@ from lectura.checkpoint import RoundLog
 from lectura.extract import extract_pages, warc_fetch_extract
 from lectura.frontier import dedupe_frontier, rank_per_host, schedule, with_budget
 from lectura.metrics import fetch_metrics, partition_lineage
-from lectura.robots import apply_robots, build_rule_table, host_delay_table
+from lectura.robots import (apply_robots, build_rule_arrays,
+                            build_rule_table, host_delay_table)
 from lectura.seen import (
     anti_join_seen, bloom_build, bloom_probe, bloom_upsert, shard_stats,
 )
@@ -202,6 +203,18 @@ class Crawler:
         # round commit) — see run_round's sink section.
         self._pending: "threading.Thread | None" = None
         self._pending_err: list[BaseException] = []
+        # Robots-derived tables are static across rounds (rules are
+        # written once at init): build + cache them on first use instead
+        # of re-reading and re-aggregating the rules parquet every round.
+        self._rule_arrays: DataFrame | None = None
+        self._host_delay: DataFrame | None = None
+
+    def _robots_tables(self) -> tuple[DataFrame, DataFrame]:
+        if self._rule_arrays is None:
+            rules = self.wh.read("rules")
+            self._rule_arrays = build_rule_arrays(rules).cache()
+            self._host_delay = host_delay_table(rules).cache()
+        return self._rule_arrays, self._host_delay
 
     def _join_pending(self) -> None:
         if self._pending is not None:
@@ -306,7 +319,7 @@ class Crawler:
         spark.sparkContext.setJobDescription(f"r{rnd}:schedule")
         frontier = wh.read("frontier").filter(F.col("for_round") == rnd)
         seen = wh.read("seen")
-        rules = wh.read("rules")
+        rule_arrays, host_delay = self._robots_tables()
         # host_state is stored as (host, last_round) deltas appended per
         # round (no full-table rewrite); the current state is the max-merge
         # over the delta chain. Footer row count (driver metadata read, no
@@ -335,12 +348,12 @@ class Crawler:
             cand = anti_join_seen(cand, seen)
 
         # robots verdicts (broadcast rules + longest-match window)
-        verdict = apply_robots(cand, rules).cache()
+        verdict = apply_robots(cand, rule_arrays=rule_arrays).cache()
         allowed = verdict.filter(F.col("allowed")).drop("allowed")
         blocked = verdict.filter(~F.col("allowed")).select("url")
 
         # politeness + ranking + global deterministic cap
-        budgeted = with_budget(allowed, host_delay_table(rules), host_state,
+        budgeted = with_budget(allowed, host_delay, host_state,
                                cfg, rnd, broadcast_hint=hs_small)
         ranked = rank_per_host(budgeted, cfg.salt_buckets,
                                max_rank=cfg.max_per_host)

@@ -63,7 +63,28 @@ def host_delay_table(rules_df: DataFrame) -> DataFrame:
     return rules_df.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
 
 
-def apply_robots(cand: DataFrame, rules_df: DataFrame) -> DataFrame:
+def build_rule_arrays(rules_df: DataFrame) -> DataFrame:
+    """Collapse the flat rule rows into one (host, _rules:array<struct>)
+    row per host — the broadcast side of apply_robots. Static across
+    crawl rounds, so callers may build it once and cache it."""
+    return (
+        rules_df.filter(F.col("pattern") != "")
+        .groupBy("host")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("priority"),
+                    (F.col("rule_type") == "allow").cast("int")
+                    .alias("is_allow"),
+                    F.col("regex"),
+                )
+            ).alias("_rules")
+        )
+    )
+
+
+def apply_robots(cand: DataFrame, rules_df: DataFrame | None = None, *,
+                 rule_arrays: DataFrame | None = None) -> DataFrame:
     """R2+R3: annotate candidates (url, host, path_q, …) with `allowed`.
 
     Shuffle-free longest-match: each host's path rules are collected into
@@ -79,20 +100,8 @@ def apply_robots(cand: DataFrame, rules_df: DataFrame) -> DataFrame:
     candidate out by its host's rule count and then shuffled the fan-out —
     the largest exchange in the schedule phase. Per-row lambda evaluation
     does the same work inside the scan stage."""
-    rule_arrays = (
-        rules_df.filter(F.col("pattern") != "")
-        .groupBy("host")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("priority"),
-                    (F.col("rule_type") == "allow").cast("int")
-                    .alias("is_allow"),
-                    F.col("regex"),
-                )
-            ).alias("_rules")
-        )
-    )
+    if rule_arrays is None:
+        rule_arrays = build_rule_arrays(rules_df)
     j = cand.join(F.broadcast(rule_arrays), "host", "left")
     best = F.array_max(
         F.filter("_rules", lambda r: F.regexp_like(F.col("path_q"), r["regex"]))
