@@ -27,6 +27,11 @@ class CrawlConfig:
     host_buckets: int = 32  # pages/frontier partition key fan-out
     salt_buckets: int = 8  # mega-host salting fan-out (U6/F1)
     use_bloom: bool = False  # exact anti-join path by default at test scale
+    # Approximate seen-set backend when use_bloom is on: "bloom"
+    # (bloomcore; ~14.4 bits/key at fpp 1e-3) or "cuckoo" (cuckoocore;
+    # ~32 bits/key, FPP ~1.2e-4, supports delete). Both shard the same
+    # way and share the probe/upsert plumbing (lectura/seen.py).
+    seen_filter: str = "bloom"
     # Broadcast-hint ceiling for round-sized sets (scheduled urls, as-of
     # winners, host_state): below this row count the small side is
     # broadcast; above it the hint is dropped so the join shuffles and AQE

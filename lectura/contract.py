@@ -1396,6 +1396,30 @@ def bloom_seen_d1(spark, sf_dir):
     )
 
 
+# D1c — the cuckoo seen-set backend (B:2 "Bloom/cuckoo"): build shards
+# over the same urls, probe them back (every inserted url must hit), and
+# delete a slice (membership clears — the op bloom can't do). Blob bytes
+# are engine-internal → rows-only; FPP/determinism/stash invariants in
+# tests/test_cuckoo.py.
+@q("cuckoo_seen_d1c", None)
+def cuckoo_seen_d1c(spark, sf_dir):
+    from lectura.seen import cuckoo_build, cuckoo_delete, cuckoo_probe
+
+    urls = t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("http://host"), (F.col("o_custkey") % 37).cast("string"),
+                 F.lit(".example/o/"), F.col("o_orderkey").cast("string"))
+        .alias("url")
+    ).cache()
+    shards = cuckoo_build(urls, 16, 100_000)
+    victims = urls.orderBy("url").limit(100)
+    after_delete = cuckoo_delete(shards, victims, 16)
+    probed = cuckoo_probe(urls, after_delete, 16)
+    return probed.groupBy("shard_id").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.col("maybe_seen").cast("int")).alias("n_hits"),
+    ).orderBy("shard_id")
+
+
 # A6 — per-partition lineage (partition ids are runtime artifacts →
 # rows-only; determinism of the rollup checked in tests)
 @q("lineage_a6", None)

@@ -29,7 +29,8 @@ from lectura.metrics import fetch_metrics, partition_lineage
 from lectura.robots import (apply_robots, build_rule_arrays,
                             build_rule_table, host_delay_table)
 from lectura.seen import (
-    anti_join_seen, bloom_build, bloom_probe, bloom_upsert, shard_stats,
+    anti_join_seen, bloom_build, bloom_probe, bloom_upsert, cuckoo_build,
+    cuckoo_probe, cuckoo_upsert, shard_stats,
 )
 from lectura.tables import Warehouse
 from lectura.urlnorm import host_bucket, with_url_norm, with_url_parts
@@ -51,25 +52,35 @@ BLOOM_STATS_SCHEMA = T.StructType([
 
 def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
                  seen: DataFrame, new_seen: DataFrame) -> list:
-    """Build this round's bloom shards, OR-merge into `seen_shards`, record
-    per-shard health in `bloom_stats`, and resize on saturation.
+    """Build this round's seen-filter shards (bloom or cuckoo per
+    cfg.seen_filter), merge into `seen_shards`, record per-shard health
+    in `bloom_stats`, and resize on saturation.
 
-    Saturation guard (VERDICT r1 #4): m/k are sized once from capacity;
+    Saturation guard (VERDICT r1 #4): sizing is fixed at build time;
     once cumulative inserts exceed it the configured FPP bound (B:6) no
-    longer holds — FPP degrades silently on a long crawl. On saturation
-    the filter is rebuilt from the exact seen set (always maintained
-    alongside it) at ≥2× the observed load. The stats scan is n_shards
-    rows. Returns the collected stats rows."""
+    longer holds (bloom: FPP degrades silently; cuckoo: inserts start
+    landing in the overflow stash). On saturation the filter is rebuilt
+    from the exact seen set (always maintained alongside it) at ≥2× the
+    observed load. The stats scan is n_shards rows. Returns the
+    collected stats rows."""
+    is_cuckoo = cfg.seen_filter == "cuckoo"
     cap = max(1024, cfg.seen_capacity // cfg.n_shards)
     if wh.exists("seen_shards"):
-        merged = bloom_upsert(wh.read("seen_shards"), new_seen,
-                              cfg.n_shards, cap, cfg.fpp)
+        merged = (
+            cuckoo_upsert(wh.read("seen_shards"), new_seen, cfg.n_shards,
+                          cap)
+            if is_cuckoo else
+            bloom_upsert(wh.read("seen_shards"), new_seen, cfg.n_shards,
+                         cap, cfg.fpp)
+        )
         wh.overwrite("seen_shards", merged)
     else:
-        wh.overwrite(
-            "seen_shards",
-            bloom_build(new_seen.select("url"), cfg.n_shards, cap, cfg.fpp),
+        built = (
+            cuckoo_build(new_seen.select("url"), cfg.n_shards, cap)
+            if is_cuckoo else
+            bloom_build(new_seen.select("url"), cfg.n_shards, cap, cfg.fpp)
         )
+        wh.overwrite("seen_shards", built)
     # Stats: ZERO extra jobs — the written shard files already carry the
     # counters, so read everything but the bits column driver-side with
     # pyarrow (n_shards slim rows), evaluate the FPP formula in Python
@@ -88,13 +99,21 @@ def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
         for r in t.to_pylist():
             n, m, k = (float(r["n_inserted"]), float(r["m_bits"]),
                        float(r["k"]))
+            if is_cuckoo:
+                # m := bucket count, k := slots (seen.py column
+                # reinterpretation); probe compares 2k slots at `load`
+                # occupancy of 16-bit fingerprints
+                load = min(1.0, n / max(1.0, m * k))
+                fpp_est = 1.0 - (1.0 - 1.0 / 65535.0) ** (2 * k * load)
+            else:
+                fpp_est = (1.0 - math.exp(-k * n / m)) ** k
             stats.append(
                 {
                     "round": rnd,
                     "shard_id": r["shard_id"],
                     "n_inserted": r["n_inserted"],
                     "capacity": r["capacity"],
-                    "fpp_est": (1.0 - math.exp(-k * n / m)) ** k,
+                    "fpp_est": fpp_est,
                     "saturated": r["n_inserted"] > r["capacity"],
                 }
             )
@@ -112,10 +131,12 @@ def commit_bloom(wh: Warehouse, spark: SparkSession, cfg, rnd: int,
     if any(r["saturated"] for r in stats):
         new_cap = 2 * max(max(r["n_inserted"] for r in stats), cap)
         all_seen = seen.select("url").unionByName(new_seen.select("url"))
-        wh.overwrite(
-            "seen_shards",
-            bloom_build(all_seen, cfg.n_shards, new_cap, cfg.fpp),
+        rebuilt = (
+            cuckoo_build(all_seen, cfg.n_shards, new_cap)
+            if is_cuckoo else
+            bloom_build(all_seen, cfg.n_shards, new_cap, cfg.fpp)
         )
+        wh.overwrite("seen_shards", rebuilt)
     return stats
 
 
@@ -339,8 +360,10 @@ class Crawler:
         cand = frontier.drop("for_round")
         if cfg.use_bloom and wh.exists("seen_shards"):
             shards = wh.read("seen_shards")
+            probe = (cuckoo_probe if cfg.seen_filter == "cuckoo"
+                     else bloom_probe)
             cand = (
-                bloom_probe(cand, shards, cfg.n_shards)
+                probe(cand, shards, cfg.n_shards)
                 .filter(~F.col("maybe_seen"))
                 .drop("maybe_seen", "shard_id", "url_key")
             )
@@ -701,6 +724,9 @@ def main() -> None:
     ap.add_argument("--n-urls", type=int, default=100_000)
     ap.add_argument("--n-hosts", type=int, default=200)
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--seen-filter", default="bloom",
+                    choices=["bloom", "cuckoo"],
+                    help="approximate seen-set backend (with --use-bloom)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--max-round-urls", type=int, default=10_000)
     args = ap.parse_args()
@@ -712,6 +738,7 @@ def main() -> None:
     spark = get_spark(master=args.master, app_name="lectura-crawl")
     wh = Warehouse(args.warehouse, spark)
     cfg = CrawlConfig(use_bloom=args.use_bloom,
+                      seen_filter=args.seen_filter,
                       max_round_urls=args.max_round_urls)
     crawler = Crawler(spark, wh, cfg)
     if not wh.exists("pages"):

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lectura.pure import bloomcore
+from lectura.pure import bloomcore, cuckoocore
 
 SHARD_SCHEMA = (
     "shard_id int, bits binary, n_inserted long, m_bits long, k int, "
@@ -185,3 +185,157 @@ def bloom_probe(cand: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
 def anti_join_seen(cand: DataFrame, seen: DataFrame) -> DataFrame:
     """D5: exact cross-round dedupe — candidates not in the seen table."""
     return cand.join(seen.select("url"), "url", "left_anti")
+
+
+# --- cuckoo-filter backend (B:2 "Bloom/cuckoo"; lectura/pure/cuckoocore) ---
+# Same sharding, same SHARD_SCHEMA, same cogrouped probe/upsert shapes as
+# the Bloom backend so the crawl swaps backends with a config switch.
+# Column reinterpretation for cuckoo shards: m_bits := bucket count,
+# k := slots per bucket (4). The blob is self-describing (header carries
+# both) — the columns exist for driver-side stats reads only.
+# Extra over Bloom: DELETE support (cuckoo_delete) and ~8x lower FPP at
+# ~2x the bits; the overflow stash keeps no-false-negatives absolute even
+# past saturation.
+
+
+def cuckoo_build(urls: DataFrame, n_shards: int,
+                 capacity_per_shard: int) -> DataFrame:
+    n_buckets = cuckoocore.size_for(capacity_per_shard)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_key"].to_numpy(dtype=np.int64)
+        table, stash = cuckoocore.build(h, n_buckets)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bits": [cuckoocore.serialize(table, stash)],
+                "n_inserted": [len(np.unique(h))],
+                "m_bits": [n_buckets],
+                "k": [cuckoocore.SLOTS],
+                "capacity": [capacity_per_shard],
+            }
+        )
+
+    keyed = with_shard(urls.select("url"), n_shards)
+    return keyed.groupBy("shard_id").applyInPandas(build_shard, SHARD_SCHEMA)
+
+
+def cuckoo_upsert(shards: DataFrame, urls: DataFrame, n_shards: int,
+                  capacity_per_shard: int) -> DataFrame:
+    """Fused insert-into-existing-shards, one cogrouped Arrow pass per
+    shard (same shape as bloom_upsert)."""
+    n_default = cuckoocore.size_for(capacity_per_shard)
+    keyed = with_shard(urls.select("url"), n_shards)
+
+    def upsert(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty and right.empty:
+            return pd.DataFrame(
+                columns=["shard_id", "bits", "n_inserted", "m_bits", "k",
+                         "capacity"]
+            )
+        if right.empty:
+            sid = int(left["shard_id"].iloc[0])
+            table, stash = cuckoocore.empty(n_default), []
+            cap, n0 = capacity_per_shard, 0
+        else:
+            sid = int(right["shard_id"].iloc[0])
+            table, stash = cuckoocore.deserialize(right["bits"].iloc[0])
+            cap = int(right["capacity"].iloc[0])
+            n0 = int(right["n_inserted"].iloc[0])
+        if not left.empty:
+            h = left["url_key"].to_numpy(dtype=np.int64)
+            n0 += cuckoocore.insert_hashes(table, stash, h)
+        return pd.DataFrame(
+            {"shard_id": [sid],
+             "bits": [cuckoocore.serialize(table, stash)],
+             "n_inserted": [n0], "m_bits": [table.shape[0]],
+             "k": [cuckoocore.SLOTS], "capacity": [cap]}
+        )
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(upsert, SHARD_SCHEMA)
+    )
+
+
+def cuckoo_merge(shards: DataFrame) -> DataFrame:
+    """D2 parity: union same-shard filters across rounds."""
+
+    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        table, stash = cuckoocore.merge(list(pdf["bits"]))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bits": [cuckoocore.serialize(table, stash)],
+                "n_inserted": [int(pdf["n_inserted"].sum())],
+                "m_bits": [table.shape[0]],
+                "k": [cuckoocore.SLOTS],
+                "capacity": [int(pdf["capacity"].max())],
+            }
+        )
+
+    return shards.groupBy("shard_id").applyInPandas(merge_shard, SHARD_SCHEMA)
+
+
+def cuckoo_probe(cand: DataFrame, shards: DataFrame,
+                 n_shards: int) -> DataFrame:
+    """D3 with the cuckoo backend — identical cogrouped shape to
+    bloom_probe (blob crosses Arrow once per task, never per row)."""
+    keyed = with_shard(cand, n_shards)
+    out_schema = T.StructType(
+        list(keyed.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            return left.assign(maybe_seen=False)
+        h = left["url_key"].to_numpy(dtype=np.int64)
+        table, stash = cuckoocore.deserialize(right["bits"].iloc[0])
+        hit = cuckoocore.probe(h, table,
+                               np.asarray(stash, dtype=np.uint64))
+        return left.assign(maybe_seen=hit)
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
+def cuckoo_delete(shards: DataFrame, urls: DataFrame,
+                  n_shards: int) -> DataFrame:
+    """Remove urls from the seen set (the operation Bloom cannot do —
+    e.g. forced re-crawl of expired pages). One cogrouped pass; callers
+    must only delete previously-inserted urls (cuckoocore.delete)."""
+    keyed = with_shard(urls.select("url"), n_shards)
+
+    def del_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            return pd.DataFrame(
+                columns=["shard_id", "bits", "n_inserted", "m_bits", "k",
+                         "capacity"]
+            )
+        sid = int(right["shard_id"].iloc[0])
+        table, stash = cuckoocore.deserialize(right["bits"].iloc[0])
+        n0 = int(right["n_inserted"].iloc[0])
+        if not left.empty:
+            h = np.unique(left["url_key"].to_numpy(dtype=np.int64))
+            removed = cuckoocore.delete(table, stash, h)
+            n0 -= int(removed.sum())
+        return pd.DataFrame(
+            {"shard_id": [sid],
+             "bits": [cuckoocore.serialize(table, stash)],
+             "n_inserted": [n0], "m_bits": [table.shape[0]],
+             "k": [cuckoocore.SLOTS],
+             "capacity": [int(right["capacity"].iloc[0])]}
+        )
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(del_group, SHARD_SCHEMA)
+    )

@@ -1,0 +1,188 @@
+"""Cuckoo-filter seen-set backend (SURVEY.md §2.3; B:2 "Bloom/cuckoo"):
+no false negatives EVER (including past saturation — the overflow stash),
+FPP well under the 1e-3 bound, delete support, set-determinism of the
+serialized bytes, merge-as-union, and the Spark cogrouped round-trip."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lectura.pure import cuckoocore
+
+
+def test_sizing_power_of_two():
+    for cap in (1, 100, 10_000, 1_000_000):
+        nb = cuckoocore.size_for(cap)
+        assert nb & (nb - 1) == 0
+        assert nb * cuckoocore.SLOTS * cuckoocore.TARGET_LOAD >= cap
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), max_size=500))
+def test_no_false_negatives(hashes):
+    h = np.array(hashes, dtype=np.int64)
+    table, stash = cuckoocore.build(h, cuckoocore.size_for(max(len(h), 16)))
+    assert cuckoocore.probe(h, table,
+                            np.asarray(stash, dtype=np.uint64)).all()
+
+
+def test_no_false_negatives_past_saturation():
+    """Overfill a deliberately tiny table to 4x capacity: inserts land in
+    the stash but membership stays absolute."""
+    rng = np.random.default_rng(3)
+    h = rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64)
+    table, stash = cuckoocore.build(h, 128)  # 128*4 slots < 2000 keys
+    assert len(stash) > 0
+    assert cuckoocore.probe(h, table,
+                            np.asarray(stash, dtype=np.uint64)).all()
+
+
+def test_fpp_bound():
+    rng = np.random.default_rng(7)
+    n = 20_000
+    h = rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+    table, stash = cuckoocore.build(h, cuckoocore.size_for(n))
+    probe = rng.integers(-(2**63), 2**63 - 1, size=300_000, dtype=np.int64)
+    fpp = cuckoocore.probe(probe, table,
+                           np.asarray(stash, dtype=np.uint64)).mean()
+    # ~2*SLOTS*load/2^16 ≈ 1.0e-4 at load 0.84; hard bound: the default
+    # bloom budget 1e-3 with headroom
+    assert fpp <= 3e-4, fpp
+
+
+def test_delete_removes_only_target():
+    rng = np.random.default_rng(11)
+    h = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    h = np.unique(h)
+    table, stash = cuckoocore.build(h, cuckoocore.size_for(len(h)))
+    victims, kept = h[:500], h[500:]
+    removed = cuckoocore.delete(table, stash, victims)
+    assert removed.all()
+    # kept keys all still present (no false negatives introduced)
+    assert cuckoocore.probe(kept, table,
+                            np.asarray(stash, dtype=np.uint64)).all()
+    # deleted keys mostly gone (a residual hit is a true false positive
+    # from an unrelated key sharing (bucket-pair, fp) — rate ~1e-4)
+    still = cuckoocore.probe(victims, table,
+                             np.asarray(stash, dtype=np.uint64)).mean()
+    assert still <= 0.01, still
+
+
+def test_delete_all_clears_table_and_stash():
+    """Deleting every inserted key empties the filter completely — every
+    stored entry (including eviction-chain residents of the stash) is a
+    legitimate (bucket, fp) pair of some inserted key, so key-level
+    deletes can always reach it."""
+    rng = np.random.default_rng(5)
+    h = np.unique(
+        rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64)
+    )
+    table, stash = cuckoocore.build(h, 128)  # overfull -> stash in play
+    assert stash
+    removed = cuckoocore.delete(table, stash, h)
+    assert removed.all()
+    assert (table != 0).sum() == 0
+    assert len(stash) == 0
+
+
+def test_serialize_roundtrip():
+    rng = np.random.default_rng(13)
+    h = rng.integers(-(2**63), 2**63 - 1, size=3000, dtype=np.int64)
+    table, stash = cuckoocore.build(h, 128)
+    t2, s2 = cuckoocore.deserialize(cuckoocore.serialize(table, stash))
+    assert np.array_equal(table, t2)
+    assert list(stash) == list(s2)
+
+
+def test_set_determinism():
+    """Serialized bytes depend on the key SET, not the input order —
+    Spark shard-task row order is not deterministic across runs."""
+    rng = np.random.default_rng(17)
+    h = rng.integers(-(2**63), 2**63 - 1, size=4000, dtype=np.int64)
+    nb = cuckoocore.size_for(len(h))
+    a = cuckoocore.serialize(*cuckoocore.build(h, nb))
+    b = cuckoocore.serialize(*cuckoocore.build(h[::-1].copy(), nb))
+    shuf = h.copy()
+    rng.shuffle(shuf)
+    c = cuckoocore.serialize(*cuckoocore.build(shuf, nb))
+    assert a == b == c
+
+
+def test_merge_is_union():
+    rng = np.random.default_rng(19)
+    a = rng.integers(-(2**63), 2**63 - 1, size=1500, dtype=np.int64)
+    b = rng.integers(-(2**63), 2**63 - 1, size=1500, dtype=np.int64)
+    nb = cuckoocore.size_for(4000)
+    blob_a = cuckoocore.serialize(*cuckoocore.build(a, nb))
+    blob_b = cuckoocore.serialize(*cuckoocore.build(b, nb))
+    table, stash = cuckoocore.merge([blob_a, blob_b])
+    both = np.concatenate([a, b])
+    assert cuckoocore.probe(both, table,
+                            np.asarray(stash, dtype=np.uint64)).all()
+
+
+def test_merge_size_mismatch_rejected():
+    a = cuckoocore.serialize(cuckoocore.empty(64), [])
+    b = cuckoocore.serialize(cuckoocore.empty(128), [])
+    with pytest.raises(ValueError):
+        cuckoocore.merge([a, b])
+
+
+def test_spark_build_probe_delete(spark):
+    """Spark cuckoo over urls: inserted urls probe True, held-out mostly
+    False, deletes clear membership — the operation bloom cannot do."""
+    from pyspark.sql import functions as F
+
+    from lectura.seen import cuckoo_build, cuckoo_delete, cuckoo_probe
+
+    urls = spark.range(5000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 59).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string"))
+        .alias("url")
+    )
+    shards = cuckoo_build(urls, 8, 10_000).cache()
+    probed = cuckoo_probe(urls, shards, 8)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    held_out = spark.range(5000, 10_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 59).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string"))
+        .alias("url")
+    )
+    fp = cuckoo_probe(held_out, shards, 8).filter(F.col("maybe_seen")).count()
+    assert fp <= 10  # ~1e-4 of 5000
+
+    victims = urls.limit(500)
+    shards2 = cuckoo_delete(shards, victims, 8)
+    again = cuckoo_probe(victims, shards2, 8)
+    assert again.filter(F.col("maybe_seen")).count() <= 5
+    survivors = urls.subtract(victims)
+    assert (cuckoo_probe(survivors, shards2, 8)
+            .filter(~F.col("maybe_seen")).count() == 0)
+
+
+def test_spark_upsert_matches_build(spark):
+    """Incremental upserts over 3 batches == membership of one-shot build."""
+    from pyspark.sql import functions as F
+
+    from lectura.seen import cuckoo_probe, cuckoo_upsert
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("http://u"), (F.col("id") % 31).cast("string"),
+                     F.lit(".example/"), F.col("id").cast("string"))
+            .alias("url")
+        )
+
+    shards = None
+    empty = spark.createDataFrame(
+        [], "shard_id int, bits binary, n_inserted long, m_bits long, "
+            "k int, capacity long")
+    for lo, hi in [(0, 1000), (1000, 2500), (2500, 4000)]:
+        shards = cuckoo_upsert(shards if shards is not None else empty,
+                               batch(lo, hi), 8, 10_000).cache()
+        shards.count()
+    allu = batch(0, 4000)
+    assert (cuckoo_probe(allu, shards, 8)
+            .filter(~F.col("maybe_seen")).count() == 0)

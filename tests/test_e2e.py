@@ -72,6 +72,17 @@ def test_bloom_mode_equivalence(spark, corpus, oracle, tmp_path):
     assert_equivalent(crawler, oracle, check_seen_exact=False)
 
 
+def test_cuckoo_mode_equivalence(spark, corpus, oracle, tmp_path):
+    """Same crawl with the cuckoo seen-set backend (B:2 'Bloom/cuckoo').
+    FPP ~1.2e-4 ≪ bloom's 1e-3, so at this corpus size the crawl should
+    in practice be EXACTLY the oracle — but the contract only requires
+    the bloom-mode guarantee (may lose urls, never invent them)."""
+    cfg = CrawlConfig(max_round_urls=200, use_bloom=True,
+                      seen_filter="cuckoo")
+    crawler = run_spark_crawl(spark, corpus, cfg, str(tmp_path / "whc"))
+    assert_equivalent(crawler, oracle, check_seen_exact=False)
+
+
 def test_oracle_matches_frozen_golden(oracle):
     """Guards against silent spec drift: today's oracle == frozen dump."""
     with open(GOLDEN) as f:
