@@ -1623,3 +1623,172 @@ def salt_u6(spark, sf_dir):
         F.min("count").alias("min_n"),
         F.max("count").alias("max_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus export: end-to-end training-corpus materialization (lang gate →
+# quality gates → exact dedup with lineage multiplicity) — the composition
+# of the text-analysis + dedup operators a 100-TB pipeline actually ships.
+# ---------------------------------------------------------------------------
+@q(
+    "corpus_export",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, source, text,
+             string_split_regex(trim(text), '\\s+') AS words,
+             len(regexp_extract_all(text,
+                 '\\b(the|and|of|to|a|in|is|for|on|with)\\b')) AS n_stop
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang, source, text, len(words) AS n_words,
+             round(CAST(n_stop AS DOUBLE) / len(words), 4) AS stopword_ratio,
+             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+               AS distinct_ratio
+      FROM w
+      WHERE lang = 'en' AND len(words) BETWEEN 20 AND 5000
+    ), g AS (
+      SELECT *, sha256(text) AS text_sha,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+      FROM f
+      WHERE stopword_ratio >= 0.005 AND distinct_ratio >= 0.2
+    )
+    SELECT doc_id, lang, source, n_words, stopword_ratio, distinct_ratio,
+           text_sha, n_copies
+    FROM g WHERE rn = 1
+    """,
+)
+def corpus_export(spark, sf_dir):
+    from lectura.textops import corpus_export as op
+
+    return op(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# S11 — sitemap ingestion: deterministic sitemap XML built from the
+# supplier table (urlset entries with optional lastmod/priority, blank
+# malformed blocks, a sitemapindex tail on every 10th host), parsed back
+# by the JVM-regexp sitemap source.
+# ---------------------------------------------------------------------------
+@q(
+    "sitemap_parse_s11",
+    """
+    WITH x AS (
+      SELECT s_suppkey AS k,
+             printf('s%d.example.com', s_suppkey) AS host,
+             printf('<urlset><url><loc>https://s%d.example.com/p/1</loc>' ||
+                    '<lastmod>2025-03-%02d</lastmod>' ||
+                    '<priority>0.%d</priority></url>' ||
+                    '<url> <loc> https://s%d.example.com/p/2 </loc></url>' ||
+                    '<url></url></urlset>',
+                    s_suppkey, 1 + s_suppkey % 28, 5 + s_suppkey % 5,
+                    s_suppkey)
+             || CASE WHEN s_suppkey % 10 = 0
+                  THEN printf('<sitemapindex><sitemap>' ||
+                              '<loc>https://s%d.example.com/sitemap2.xml</loc>'
+                              || '</sitemap></sitemapindex>', s_suppkey)
+                  ELSE '' END AS xml
+      FROM supplier
+    ), ub AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+      FROM x
+    ), urls AS (
+      SELECT host,
+             nullif(regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '')
+               AS loc,
+             CAST(nullif(regexp_extract(b,
+                 '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS TIMESTAMP)
+               AS lastmod,
+             coalesce(try_cast(nullif(regexp_extract(b,
+                 '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '') AS DOUBLE),
+                 0.5) AS priority,
+             'url' AS kind
+      FROM ub
+    ), sb AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml,
+                 '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+      FROM x
+    ), subs AS (
+      SELECT host,
+             nullif(regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '')
+               AS loc,
+             CAST(NULL AS TIMESTAMP) AS lastmod, 0.5 AS priority,
+             'sitemap' AS kind
+      FROM sb
+    )
+    SELECT host, loc, lastmod, priority, kind FROM urls WHERE loc IS NOT NULL
+    UNION ALL
+    SELECT host, loc, lastmod, priority, kind FROM subs WHERE loc IS NOT NULL
+    """,
+)
+def sitemap_parse_s11(spark, sf_dir):
+    from lectura.sources import parse_sitemaps
+
+    sup = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    body = F.format_string(
+        "<urlset><url><loc>https://s%d.example.com/p/1</loc>"
+        "<lastmod>2025-03-%02d</lastmod>"
+        "<priority>0.%d</priority></url>"
+        "<url> <loc> https://s%d.example.com/p/2 </loc></url>"
+        "<url></url></urlset>",
+        F.col("k"), F.lit(1) + F.col("k") % 28, F.lit(5) + F.col("k") % 5,
+        F.col("k"),
+    )
+    tail = F.when(
+        F.col("k") % 10 == 0,
+        F.format_string(
+            "<sitemapindex><sitemap>"
+            "<loc>https://s%d.example.com/sitemap2.xml</loc>"
+            "</sitemap></sitemapindex>", F.col("k")),
+    ).otherwise(F.lit(""))
+    docs = sup.select(
+        F.format_string("s%d.example.com", F.col("k")).alias("host"),
+        F.concat(body, tail).alias("xml"),
+    )
+    return parse_sitemaps(docs)
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling: freshness-driven revisit priority from fetch history
+# (events as the deterministic history fixture; clicks mark content change).
+# ---------------------------------------------------------------------------
+@q(
+    "recrawl_sched",
+    """
+    WITH g AS (
+      SELECT printf('https://u%d.example.com/', user_id) AS key,
+             count(*) AS n_obs,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS n_changes,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+      FROM events GROUP BY 1
+    ), e AS (
+      SELECT *,
+             round(least(greatest(
+                 CASE WHEN n_changes > 0
+                   THEN CAST(last_epoch - first_epoch AS DOUBLE) / n_changes
+                   ELSE 2592000.0 END, 3600.0), 2592000.0), 4)
+               AS est_interval_s
+      FROM g
+    )
+    SELECT key, n_obs, n_changes, last_epoch, est_interval_s,
+           round((1753920000.0 - CAST(last_epoch AS DOUBLE)
+                  - est_interval_s) / est_interval_s, 4) AS overdue
+    FROM e
+    """,
+)
+def recrawl_sched(spark, sf_dir):
+    from lectura.frontier import recrawl_schedule
+
+    ev = t(spark, sf_dir, "events").select(
+        F.format_string("https://u%d.example.com/",
+                        F.col("user_id")).alias("url"),
+        F.col("ts"),
+        (F.col("event_type") == "click").alias("changed"),
+    )
+    # 2025-07-31T00:00:00Z — explicit epoch keeps the plan deterministic
+    return recrawl_schedule(ev, 1753920000)

@@ -124,3 +124,46 @@ def schedule(cand_budgeted: DataFrame, cfg: CrawlConfig) -> DataFrame:
             ),
         )
     )
+
+
+def recrawl_schedule(history: DataFrame, now_epoch_s: int,
+                     key_col: str = "url", ts_col: str = "ts",
+                     changed_col: str = "changed",
+                     min_interval_s: float = 3600.0,
+                     max_interval_s: float = 30 * 86400.0) -> DataFrame:
+    """Freshness-driven recrawl prioritization — the scheduling layer a
+    continuous crawl runs between discovery rounds.
+
+    Per key, the change interval is estimated from fetch history as
+    observed span / observed changes (the max-likelihood estimator for a
+    Poisson change process), clamped to [min, max]; keys never seen to
+    change sit at max. `overdue` is how many estimated intervals past
+    due the key is at `now_epoch_s` — the recrawl queue orders by it
+    descending and feeds the same politeness/rank pipeline as discovery.
+
+    Scale shape: ONE hash aggregation over the history (partial aggs
+    map-side), no window, no join; output cardinality = distinct keys.
+    `now` is an explicit epoch so plans are deterministic and replayable
+    (no wall-clock in the plan)."""
+    g = history.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.col(changed_col).cast("int")).alias("n_changes"),
+        F.unix_timestamp(F.min(ts_col)).alias("first_epoch"),
+        F.unix_timestamp(F.max(ts_col)).alias("last_epoch"),
+    )
+    span = (F.col("last_epoch") - F.col("first_epoch")).cast("double")
+    est = F.when(F.col("n_changes") > 0, span / F.col("n_changes")) \
+        .otherwise(F.lit(float(max_interval_s)))
+    est = F.least(F.greatest(est, F.lit(float(min_interval_s))),
+                  F.lit(float(max_interval_s)))
+    return (
+        g.withColumn("est_interval_s", F.round(est, 4))
+        .withColumn(
+            "overdue",
+            F.round(
+                (F.lit(float(now_epoch_s)) - F.col("last_epoch").cast("double")
+                 - F.col("est_interval_s")) / F.col("est_interval_s"), 4),
+        )
+        .select("key", "n_obs", "n_changes", "last_epoch",
+                "est_interval_s", "overdue")
+    )

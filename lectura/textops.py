@@ -202,3 +202,64 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
 @F.pandas_udf(T.LongType())
 def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
     return text.map(rolling_fingerprint, na_action="ignore")
+
+
+# ---------------------------------------------------------------------------
+# Corpus export: the end-to-end materialization pass a training-data
+# pipeline ships — language gate → quality gates → exact dedup — composed
+# from the operators above so the whole thing stays JVM-side.
+# ---------------------------------------------------------------------------
+
+def _n_stopwords(text_col: str) -> F.Column:
+    """Stopword hit count (same _STOP_RX the quality scorer uses)."""
+    rx = _STOP_RX.replace("\\", "\\\\")
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '{rx}', 0)"))
+
+
+def corpus_export(docs: DataFrame, langs=("en",), min_words: int = 20,
+                  max_words: int = 5000, min_stopword_ratio: float = 0.005,
+                  min_distinct_ratio: float = 0.2) -> DataFrame:
+    """Train-ready corpus materialization: language gate → quality gates
+    (word-count bounds, stopword ratio, lexical diversity) → exact dedup
+    by content sha256 keeping the lowest doc_id, with the duplicate
+    multiplicity kept on the winner row for lineage.
+
+    Scale shape: one narrow projection computes every metric JVM-side
+    (split / higher-order fns — no Python), the filters run in the scan
+    stage (predicate + column pruning reach the parquet reader), and the
+    ONLY shuffle is the hash-partition on text_sha for the dedup window.
+    At cluster scale the result is written partitioned by `source` as
+    the training-shard table; filtered-out and duplicate rows never
+    reach the exchange."""
+    from pyspark.sql import Window
+
+    w = words(F.col("text"))
+    d = (
+        docs.select("doc_id", "lang", "source", "text", w.alias("words"))
+        .withColumn("n_words", F.size("words"))
+        .filter(F.col("lang").isin(list(langs)))
+        .filter((F.col("n_words") >= min_words)
+                & (F.col("n_words") <= max_words))
+        .withColumn(
+            "stopword_ratio",
+            F.round(_n_stopwords("text").cast("double") / F.col("n_words"), 4),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(
+                F.size(F.array_distinct("words")).cast("double")
+                / F.col("n_words"), 4,
+            ),
+        )
+        .filter((F.col("stopword_ratio") >= min_stopword_ratio)
+                & (F.col("distinct_ratio") >= min_distinct_ratio))
+        .withColumn("text_sha", F.sha2("text", 256))
+    )
+    dedup = Window.partitionBy("text_sha")
+    return (
+        d.withColumn("rn", F.row_number().over(dedup.orderBy("doc_id")))
+        .withColumn("n_copies", F.count("*").over(dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_words", "stopword_ratio",
+                "distinct_ratio", "text_sha", "n_copies")
+    )

@@ -1,0 +1,100 @@
+"""Corpus export, sitemap ingestion, and recrawl scheduling operators:
+edge-case behavior the contract queries' synthetic fixtures can't plant."""
+
+import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lectura.frontier import recrawl_schedule
+from lectura.sources import parse_sitemaps
+from lectura.textops import corpus_export
+
+
+def test_corpus_export_dedup_and_gates(spark):
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "with a pace that is good for the morning hunt in the field")
+    rows = [
+        (1, good, "en", "a"),
+        (5, good, "en", "b"),          # exact dup — loses to doc_id 1
+        (3, good, "en", "c"),          # exact dup — loses to doc_id 1
+        (7, good, "de", "a"),          # language-gated
+        (8, "short text", "en", "a"),  # under min_words
+        (9, " ".join(["word"] * 50), "en", "a"),  # distinct_ratio-gated
+        (10, " ".join(f"w{i}" for i in range(40)), "en", "a"),  # no stopwords
+        (11, good + " extra tail words here today", "en", "a"),  # kept
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]),
+        schema="doc_id long, text string, lang string, source string",
+    )
+    out = corpus_export(docs, min_words=20).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 11]
+    winner = out[0]
+    assert winner.n_copies == 3 and winner.source == "a"
+    assert out[1].n_copies == 1
+    shas = {r.text_sha for r in out}
+    assert len(shas) == 2  # no duplicate content survives
+
+
+def test_parse_sitemaps_urlset_index_and_malformed(spark):
+    xml = (
+        "<?xml version='1.0'?>\n<urlset>\n"
+        "  <url>\n    <loc>\n      https://h1.example.com/a\n    </loc>\n"
+        "    <lastmod>2025-05-04</lastmod>\n"
+        "    <priority>0.9</priority>\n  </url>\n"
+        "  <url><loc>https://h1.example.com/b</loc></url>\n"
+        "  <url><priority>oops</priority></url>\n"  # no loc: dropped
+        "  <url><loc>https://h1.example.com/c</loc>"
+        "<priority>bogus</priority></url>\n"        # bad priority: default
+        "</urlset>\n"
+        "<sitemapindex><sitemap>"
+        "<loc>https://h1.example.com/sitemap-2.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame([("h1.example.com", xml)], columns=["host", "xml"]),
+        schema="host string, xml string",
+    )
+    rows = {r.loc: r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {
+        "https://h1.example.com/a", "https://h1.example.com/b",
+        "https://h1.example.com/c", "https://h1.example.com/sitemap-2.xml",
+    }
+    a = rows["https://h1.example.com/a"]
+    assert a.kind == "url" and a.priority == 0.9
+    assert a.lastmod == datetime.datetime(2025, 5, 4)
+    b = rows["https://h1.example.com/b"]
+    assert b.lastmod is None and b.priority == 0.5
+    assert rows["https://h1.example.com/c"].priority == 0.5
+    sub = rows["https://h1.example.com/sitemap-2.xml"]
+    assert sub.kind == "sitemap"
+
+
+def test_recrawl_schedule_estimates_and_clamps(spark):
+    day = 86400
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = []
+    # u1: 11 fetches a day apart, 5 changes → est = 10 days / 5 = 2 days
+    for i in range(11):
+        rows.append(("u1", t0 + datetime.timedelta(days=i), i % 2 == 1))
+    # u2: never changes → est clamps to max (30 d)
+    for i in range(4):
+        rows.append(("u2", t0 + datetime.timedelta(days=i), False))
+    # u3: changes every fetch, minutes apart → est clamps to min (1 h)
+    for i in range(5):
+        rows.append(("u3", t0 + datetime.timedelta(minutes=i), True))
+    hist = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "ts", "changed"]),
+        schema="url string, ts timestamp, changed boolean",
+    )
+    now = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp()) + 40 * day
+    out = {r.key: r for r in recrawl_schedule(hist, now).collect()}
+    assert out["u1"].est_interval_s == 2 * day
+    assert out["u1"].n_changes == 5 and out["u1"].n_obs == 11
+    assert out["u2"].est_interval_s == 30 * day
+    assert out["u3"].est_interval_s == 3600.0
+    # u1 last fetch day 10, est 2 d → (40-10-2)/2 = 14 intervals overdue
+    assert out["u1"].overdue == 14.0
+    # ordering: u3 (minutes-old, hourly interval) is the most overdue
+    assert out["u3"].overdue > out["u1"].overdue > out["u2"].overdue
