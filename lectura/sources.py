@@ -102,3 +102,19 @@ def parse_sitemaps(df: DataFrame, xml_col: str = "xml",
         )
     )
     return (urls.unionByName(subs)).filter(F.col("loc").isNotNull())
+
+
+def seeds_from_sitemaps(parsed: DataFrame) -> DataFrame:
+    """Turn `parse_sitemaps` output into a crawl seed list compatible
+    with `Crawler.init_tables(pages, seeds, robots)`: kind='url' rows
+    become (url, score) with the sitemap priority as the seed score
+    (weighted by the frontier's score formula like any seed score).
+    Index entries are not seeds — the caller fetches and re-parses
+    them. Duplicate locs keep the max priority (one hash agg)."""
+    from pyspark.sql import functions as F
+
+    return (
+        parsed.filter(F.col("kind") == "url")
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.max("priority").alias("score"))
+    )

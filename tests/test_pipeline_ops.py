@@ -98,3 +98,27 @@ def test_recrawl_schedule_estimates_and_clamps(spark):
     assert out["u1"].overdue == 14.0
     # ordering: u3 (minutes-old, hourly interval) is the most overdue
     assert out["u3"].overdue > out["u1"].overdue > out["u2"].overdue
+
+
+def test_seeds_from_sitemaps(spark):
+    from lectura.sources import seeds_from_sitemaps
+
+    xml = ("<urlset>"
+           "<url><loc>https://h2.example.com/a</loc>"
+           "<priority>0.9</priority></url>"
+           "<url><loc>https://h2.example.com/a</loc>"
+           "<priority>0.3</priority></url>"
+           "<url><loc>https://h2.example.com/b</loc></url>"
+           "</urlset>"
+           "<sitemapindex><sitemap>"
+           "<loc>https://h2.example.com/more.xml</loc>"
+           "</sitemap></sitemapindex>")
+    df = spark.createDataFrame(
+        pd.DataFrame([("h2.example.com", xml)], columns=["host", "xml"]),
+        schema="host string, xml string",
+    )
+    seeds = {r.url: r.score
+             for r in seeds_from_sitemaps(parse_sitemaps(df)).collect()}
+    # dup loc keeps max priority; index entries are not seeds
+    assert seeds == {"https://h2.example.com/a": 0.9,
+                     "https://h2.example.com/b": 0.5}

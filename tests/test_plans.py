@@ -176,3 +176,48 @@ def test_html_fetch_plan_gated_broadcast_off(spark, tmp_path):
                            CrawlConfig(), n_scheduled=50, n_extract_parts=8)
     assert "ResolvedHint" not in logical(gated)
     assert "ResolvedHint" in logical(hinted)
+
+
+def test_corpus_export_single_exchange(spark):
+    """corpus_export's only shuffle is the text_sha hash-partition for
+    the dedup window; the gates must run before it (scan-stage filters),
+    so exactly ONE Exchange appears and it carries no raw text column."""
+    from lectura.textops import corpus_export
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, "the and of to a word here now then soon " * 5,
+              "en", "s") for i in range(30)],
+            columns=["doc_id", "text", "lang", "source"],
+        )
+    )
+    plan = plan_of(corpus_export(docs))
+    exchanges = [b for b in re.split(r"\n\(\d+\) ", plan)
+                 if b.startswith("Exchange")]
+    assert len(exchanges) == 1, plan
+    # column pruning must drop the raw text/words before the shuffle
+    for cols in exchange_inputs(plan):
+        toks = [c.strip() for c in cols.split(",")]
+        assert not any(
+            t.startswith("text#") or t.startswith("words#") for t in toks
+        ), plan
+
+
+def test_recrawl_schedule_is_one_hash_agg(spark):
+    """recrawl_schedule must plan as partial+final HashAggregate around
+    a single Exchange — no window, no join."""
+    from lectura.frontier import recrawl_schedule
+
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            [("u", pd.Timestamp("2025-01-01"), True)],
+            columns=["url", "ts", "changed"],
+        ),
+        schema="url string, ts timestamp, changed boolean",
+    )
+    plan = plan_of(recrawl_schedule(hist, 1753920000))
+    exchanges = [b for b in re.split(r"\n\(\d+\) ", plan)
+                 if b.startswith("Exchange")]
+    assert len(exchanges) == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
