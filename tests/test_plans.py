@@ -221,3 +221,23 @@ def test_recrawl_schedule_is_one_hash_agg(spark):
     assert len(exchanges) == 1, plan
     assert "Window" not in plan and "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_sort_agg_delegation_a7(spark):
+    """A7: the engine deliberately delegates hash-vs-sort aggregation to
+    Catalyst. Pin BOTH sides of that delegation: a primitive-typed agg
+    plans as HashAggregate; a struct-typed min (no mutable-buffer
+    support) falls back to SortAggregate/ObjectHashAggregate. If a Spark
+    upgrade changes the fallback, this test localizes it."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [3.0, 4.0]})
+    )
+    hash_plan = plan_of(df.groupBy("k").agg(F.sum("v")))
+    assert "HashAggregate" in hash_plan, hash_plan
+    assert "SortAggregate" not in hash_plan, hash_plan
+
+    struct_plan = plan_of(
+        df.groupBy("k").agg(F.min(F.struct("v", "k")).alias("m"))
+    )
+    assert ("SortAggregate" in struct_plan
+            or "ObjectHashAggregate" in struct_plan), struct_plan
