@@ -123,3 +123,36 @@ def test_kill_resume_identical(spark, corpus, cfg, oracle, tmp_path):
     assert_equivalent(crawler2, oracle)
     seen = {r.url for r in wh.read("seen").collect()}
     assert "http://garbage.example/x" not in seen
+
+
+def test_sitemap_seed_ingestion_matches_oracle(spark, corpus, cfg, oracle,
+                                               tmp_path):
+    """Seeding the crawl from parsed sitemaps instead of a seed list must
+    reproduce the oracle crawl exactly: per-host sitemap XML is built
+    from the synth seed list (loc + priority-as-score), parsed by S11,
+    and fed to init_tables — everything downstream is byte-identical."""
+    import pandas as pd
+    from urllib.parse import urlsplit
+
+    from lectura.sources import parse_sitemaps, seeds_from_sitemaps
+
+    assert len({s["url"] for s in corpus["seeds"]}) == len(corpus["seeds"])
+    by_host = {}
+    for s in corpus["seeds"]:
+        host = urlsplit(s["url"]).hostname
+        by_host.setdefault(host, []).append(
+            f"<url><loc>{s['url']}</loc>"
+            f"<priority>{s['score']!r}</priority></url>"
+        )
+    rows = [(h, "<urlset>" + "".join(es) + "</urlset>")
+            for h, es in sorted(by_host.items())]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["host", "xml"]),
+                                 schema="host string, xml string")
+    seeds = seeds_from_sitemaps(parse_sitemaps(docs))
+
+    wh = Warehouse(str(tmp_path / "whsm"), spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, _, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(ROUNDS)
+    assert_equivalent(crawler, oracle)
