@@ -122,3 +122,54 @@ def test_seeds_from_sitemaps(spark):
     # dup loc keeps max priority; index entries are not seeds
     assert seeds == {"https://h2.example.com/a": 0.9,
                      "https://h2.example.com/b": 0.5}
+
+
+def test_parse_sitemaps_roundtrip_property(spark):
+    """Hypothesis round-trip: arbitrary well-formed sitemap entries (any
+    field subset, random whitespace/newlines inside tags) parse back to
+    exactly the entries serialized."""
+    from hypothesis import given, settings, strategies as st
+
+    loc_st = st.from_regex(r"https://h[0-9]\.example\.com/[a-z0-9/_-]{0,30}",
+                           fullmatch=True)
+    ws = st.sampled_from(["", " ", "\n  ", "\t"])
+    entry_st = st.fixed_dictionaries({
+        "loc": loc_st,
+        "lastmod": st.one_of(st.none(), st.dates(
+            min_value=datetime.date(2000, 1, 1),
+            max_value=datetime.date(2030, 12, 28)).map(str)),
+        "priority": st.one_of(
+            st.none(),
+            st.floats(min_value=0.0, max_value=1.0,
+                      allow_nan=False).map(lambda f: round(f, 2))),
+        "w": ws,
+    })
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(entry_st, min_size=1, max_size=8))
+    def check(entries):
+        parts = []
+        for e in entries:
+            w = e["w"]
+            s = f"<url><loc>{w}{e['loc']}{w}</loc>"
+            if e["lastmod"] is not None:
+                s += f"<lastmod>{w}{e['lastmod']}{w}</lastmod>"
+            if e["priority"] is not None:
+                s += f"<priority>{e['priority']!r}</priority>"
+            parts.append(s + "</url>")
+        xml = "<urlset>" + "".join(parts) + "</urlset>"
+        df = spark.createDataFrame(
+            pd.DataFrame([("h.example.com", xml)], columns=["host", "xml"]),
+            schema="host string, xml string",
+        )
+        got = parse_sitemaps(df).collect()
+        assert len(got) == len(entries)
+        for g, e in zip(got, entries):
+            assert g.loc == e["loc"]
+            want_lm = (None if e["lastmod"] is None
+                       else datetime.datetime.fromisoformat(e["lastmod"]))
+            assert g.lastmod == want_lm
+            want_p = 0.5 if e["priority"] is None else e["priority"]
+            assert g.priority == want_p
+
+    check()
