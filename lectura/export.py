@@ -1,0 +1,137 @@
+"""Training-corpus materialization from the crawl warehouse — the bridge
+between the crawl half (fetch → extract → enrich) and the training-data
+half (quality gates → dedup) of the pipeline.
+
+The fused extraction pass (X4, lectura/extract.py) already computed every
+signal this step needs — token/quality/language stats, the rolling
+64-bit fingerprint, the simhash — so export is pure JVM work over stored
+columns: no text re-tokenization, no Python, no second scan of the page
+bodies. At 100 TB that is the difference between an export that reads a
+slim stats projection and one that re-processes the whole corpus.
+
+Plan shape (all shuffles keyed and bounded):
+  1. quality/language gates — scan-stage filters (predicate pushdown);
+  2. exact dedup — one hash-partition on `fingerprint` (window keeps the
+     lexicographically-smallest url, counts copies for lineage);
+  3. near-dup clustering — simhash 4×16-bit pigeonhole banding
+     (equi-join, lossless for hamming ≤ 3) → connected components
+     (large-star/small-star, O(log n) rounds) → one window per component
+     keeps the canonical doc and records the cluster size.
+
+Node ids for the component step are xxhash64(url): at the 10^10-doc
+design point the expected number of colliding pairs is ~0.003·(n/10^9)²,
+and a collision can only merge two clusters (over-dedup by one doc),
+never corrupt the table — an acceptable trade for never shuffling url
+strings through the graph iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lectura.graphops import connected_components
+from lectura.tables import Warehouse
+from lectura.textops import simhash_band_pairs
+
+EXPORT_COLS = ("url", "text", "n_tokens", "quality", "lang_guess",
+               "fingerprint", "simhash")
+
+
+def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
+                  min_quality: float = 0.0,
+                  langs: tuple[str, ...] | None = ("en",),
+                  max_hamming: int = 3,
+                  out_table: str = "train_docs",
+                  n_parts: int = 32) -> dict:
+    """Materialize the crawl's extracted text as train-ready shards.
+
+    Returns {"table", "n_docs"}; the written table carries per-doc
+    lineage (`n_exact_copies`, `cluster_size`) so downstream sampling can
+    up/down-weight by duplication. `max_hamming` ≤ 3 keeps the banding
+    join lossless (pigeonhole over 4 chunks); raise it only accepting
+    recall-heuristic semantics."""
+    docs = wh.read("text").select(*EXPORT_COLS)
+    gated = docs.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    if langs is not None:
+        gated = gated.filter(F.col("lang_guess").isin(list(langs)))
+
+    exact_w = Window.partitionBy("fingerprint")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(exact_w.orderBy("url")))
+        .withColumn("n_exact_copies", F.count("*").over(exact_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_nid", F.xxhash64("url"))
+    )
+
+    pairs = simhash_band_pairs(
+        exact.select(F.col("_nid").alias("id"),
+                     F.col("simhash").alias("sh")),
+        max_hamming=max_hamming,
+    )
+    comp = connected_components(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    ).localCheckpoint()
+    labeled = (
+        exact.join(F.broadcast(comp) if _small(comp) else comp,
+                   exact["_nid"] == comp["node"], "left")
+        .withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
+        .drop("node", "component")
+    )
+    comp_w = Window.partitionBy("_comp")
+    out = (
+        labeled.withColumn("_rn", F.row_number().over(comp_w.orderBy("url")))
+        .withColumn("cluster_size", F.count("*").over(comp_w))
+        .filter(F.col("_rn") == 1)
+        .select(*EXPORT_COLS, "n_exact_copies", "cluster_size")
+    )
+    snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
+    n_docs = wh.count_rows(wh._files(out_table))
+    return {"table": out_table, "snapshot": snap, "n_docs": int(n_docs)}
+
+
+def _small(df: DataFrame, bound: int = 5_000_000) -> bool:
+    """Near-dup components cover only docs that HAVE a near-dup — tiny
+    relative to the corpus in practice, but unbounded in principle, so
+    the broadcast is gated the same way as the crawl's round joins
+    (plan stats can't see through the iterative CC, hence the explicit
+    count over the checkpointed component table)."""
+    return df.count() <= bound
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+    import json
+
+    from lectura.session import get_spark
+
+    ap = argparse.ArgumentParser(
+        description="Materialize train-ready corpus shards from a crawl "
+                    "warehouse's text table.")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--out-table", default="train_docs")
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--langs", default="en",
+                    help="comma-separated allowlist; 'any' disables")
+    ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="lectura-export")
+    wh = Warehouse(args.warehouse, spark)
+    langs = None if args.langs == "any" else tuple(args.langs.split(","))
+    stats = export_corpus(
+        wh, min_tokens=args.min_tokens, min_quality=args.min_quality,
+        langs=langs, max_hamming=args.max_hamming, out_table=args.out_table,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -167,13 +167,20 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 8,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by simhash. Candidate generation bands the 64-bit
-    signature into 4×16-bit chunks: any pair with hamming distance ≤ 3 must
-    agree on at least one chunk (pigeonhole), so the chunk equi-join is a
-    lossless filter for max_hamming ≤ 3 and a high-recall heuristic above
-    that. Exact hamming via bit_count(xor) afterwards."""
+    """Near-dup pairs by simhash computed from text (UDF) — banding and
+    exact-hamming filter in `simhash_band_pairs`."""
     sh = df.select(F.col(id_col).alias("id"),
                    simhash_udf(F.col(text_col)).alias("sh"))
+    return simhash_band_pairs(sh, max_hamming)
+
+
+def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs from precomputed signatures (`id`, `sh` signed i64).
+    Candidate generation bands the 64-bit signature into 4×16-bit chunks:
+    any pair with hamming distance ≤ 3 must agree on at least one chunk
+    (pigeonhole), so the chunk equi-join is a lossless filter for
+    max_hamming ≤ 3 and a high-recall heuristic above that. Exact hamming
+    via bit_count(xor) afterwards."""
     chunks = sh.select(
         "id", "sh",
         F.explode(F.array(*[

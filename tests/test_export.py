@@ -1,0 +1,127 @@
+"""export_corpus: train-shard materialization from the crawl warehouse,
+verified against a pure-Python reference (gates → fingerprint groups →
+brute-force simhash hamming graph → union-find clusters)."""
+
+import random
+
+import pandas as pd
+import pytest
+
+from lectura.export import export_corpus
+from lectura.pure.enrich import enrich_text
+from lectura.pure.fingerprint import hamming64
+from lectura.tables import Warehouse
+
+VOCAB = ("the and for with market report spring harvest window ledger "
+         "quarter signal matrix copper meadow").split()
+
+
+def _mk_docs():
+    """Planted corpus: quality-gated docs, exact dups, guaranteed
+    near-dups (repetitive base text → simhash bit margins are wide, so an
+    appended word flips ~0 bits while the rolling fingerprint changes),
+    and random docs whose pairwise hamming the reference recomputes."""
+    rng = random.Random(11)
+    docs = {}
+    # 7 DISTINCT words repeated 10× each: every simhash bit's count is
+    # 10·(sum of 7 ±1s), an odd multiple of 10, so |margin| ≥ 10 and an
+    # appended word (±1 per bit) flips nothing — hamming(base, near*) = 0
+    # while the order-sensitive rolling fingerprint still differs.
+    base = " ".join(["the report for spring market window ledger"] * 10)
+    docs["http://a.example/base"] = base
+    docs["http://a.example/near1"] = base + " ledger"      # near-dup of base
+    docs["http://b.example/near2"] = base + " copper"      # near-dup of base
+    docs["http://c.example/exact"] = base                  # exact dup of base
+    docs["http://z.example/exact2"] = base                 # exact dup of base
+    for i in range(20):
+        docs[f"http://r{i % 5}.example/p{i}"] = " ".join(
+            rng.choice(VOCAB) for _ in range(40)
+        )
+    docs["http://short.example/"] = "too short"            # token-gated
+    return docs
+
+
+def _reference(docs, min_tokens=20, max_hamming=3):
+    stats = {u: enrich_text(t, {}) for u, t in docs.items()}
+    gated = {u: s for u, s in stats.items()
+             if s["n_tokens"] >= min_tokens and s["lang_guess"] == "en"}
+    # exact dedup: min url per fingerprint
+    by_fp = {}
+    for u in sorted(gated):
+        by_fp.setdefault(gated[u]["fingerprint"], []).append(u)
+    winners = {us[0]: len(us) for us in by_fp.values()}
+    # brute-force hamming graph over winners + union-find
+    urls = sorted(winners)
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, u1 in enumerate(urls):
+        for u2 in urls[i + 1:]:
+            if hamming64(gated[u1]["simhash"] & (2**64 - 1),
+                         gated[u2]["simhash"] & (2**64 - 1)) <= max_hamming:
+                parent[find(u1)] = find(u2)
+    clusters = {}
+    for u in urls:
+        clusters.setdefault(find(u), []).append(u)
+    keep = {}
+    for members in clusters.values():
+        k = min(members)
+        keep[k] = {"cluster_size": len(members),
+                   "n_exact_copies": winners[k]}
+    return keep
+
+
+@pytest.fixture(scope="module")
+def text_wh(spark, tmp_path_factory):
+    docs = _mk_docs()
+    rows = []
+    for u, t in docs.items():
+        s = enrich_text(t, {})
+        rows.append({
+            "url": u, "text": t, "n_tokens": s["n_tokens"],
+            "quality": s["quality"], "lang_guess": s["lang_guess"],
+            "fingerprint": s["fingerprint"], "simhash": s["simhash"],
+        })
+    wh = Warehouse(str(tmp_path_factory.mktemp("exp") / "wh"), spark)
+    wh.overwrite("text", spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="url string, text string, n_tokens int, quality double, "
+               "lang_guess string, fingerprint long, simhash long",
+    ))
+    return wh, docs
+
+
+def test_export_matches_pure_reference(text_wh):
+    wh, docs = text_wh
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)
+    ref = _reference(docs)
+    got = {r.url: r for r in wh.read("train_docs").collect()}
+    assert set(got) == set(ref)
+    assert stats["n_docs"] == len(ref)
+    for u, want in ref.items():
+        assert got[u].cluster_size == want["cluster_size"], u
+        assert got[u].n_exact_copies == want["n_exact_copies"], u
+    # the planted families actually exercised both dedup stages
+    base = got["http://a.example/base"]
+    assert base.n_exact_copies == 3      # base + 2 exact copies
+    assert base.cluster_size >= 3        # base + 2 appended-word near-dups
+    # no surviving doc pair is within the near-dup radius
+    urls = sorted(got)
+    for i, u1 in enumerate(urls):
+        for u2 in urls[i + 1:]:
+            assert hamming64(got[u1].simhash & (2**64 - 1),
+                             got[u2].simhash & (2**64 - 1)) > 3
+
+
+def test_export_gates_and_determinism(text_wh):
+    wh, docs = text_wh
+    r1 = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)
+    r2 = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)
+    assert r1["n_docs"] == r2["n_docs"]
+    got = {r.url for r in wh.read("train_docs").collect()}
+    assert "http://short.example/" not in got  # token gate applied
