@@ -1792,3 +1792,32 @@ def recrawl_sched(spark, sf_dir):
     )
     # 2025-07-31T00:00:00Z — explicit epoch keeps the plan deterministic
     return recrawl_schedule(ev, 1753920000)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (the export pipeline's dedup stage as a checkable
+# query): simhash pairs at lossless banding radius → connected components
+# → one row per cluster with keeper + member count, singletons included.
+# ---------------------------------------------------------------------------
+@q("dedup_simhash_clusters", _osql.simhash_clusters_sql(max_hamming=3,
+                                                        max_doc_id=300))
+def dedup_simhash_clusters(spark, sf_dir):
+    from lectura.graphops import connected_components
+    from lectura.textops import simhash_band_pairs, simhash_udf
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     simhash_udf(F.col("text")).alias("sh"))
+    pairs = simhash_band_pairs(sh, max_hamming=3)
+    comp = connected_components(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("component"))
+    )
+    return lab.groupBy(F.col("component").alias("keep_doc_id")).agg(
+        F.count("*").alias("n_members")
+    )

@@ -338,3 +338,30 @@ WHERE round(length(list_filter(range(1, {k + 1}),
                                i -> sig1[i] = sig2[i])) / {float(k)}, 4)
       >= {min_est_jaccard}
 """
+
+
+def simhash_clusters_sql(max_hamming: int = 3, max_doc_id: int = 300) -> str:
+    """Near-dup clusters = transitive closure over the simhash pair graph
+    (pigeonhole banding is lossless at hamming ≤ 3, so closure over the
+    banded pairs equals closure over the true ≤-hamming graph), plus
+    singletons; one row per cluster (keeper = min doc_id, member count).
+    Mirrors lectura/export.py's exact-then-near dedup clustering stage."""
+    pairs = dedup_simhash_sql(max_hamming=max_hamming, max_doc_id=max_doc_id)
+    return f"""
+WITH RECURSIVE edges0 AS ({pairs}),
+und AS (SELECT d1 AS u, d2 AS v FROM edges0 UNION SELECT d2, d1 FROM edges0),
+reach(a, b) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.a, u2.v FROM reach r JOIN und u2 ON r.b = u2.u
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+alldocs AS (SELECT doc_id FROM documents WHERE doc_id < {max_doc_id}),
+lab2 AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+  FROM alldocs d LEFT JOIN labels l ON l.node = d.doc_id
+)
+SELECT component AS keep_doc_id, count(*) AS n_members
+FROM lab2 GROUP BY 1
+"""
