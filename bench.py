@@ -103,7 +103,7 @@ def _worker_env(scratch: str) -> dict:
 
 
 def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str,
-              rounds: int = ROUNDS) -> dict:
+              rounds: int = ROUNDS, keep_wh: bool = False) -> dict:
     cmd = [
         sys.executable, "-m", "lectura.bench_worker",
         "--master", master, "--corpus", corpus_dir, "--warehouse", wh_dir,
@@ -118,10 +118,34 @@ def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str,
         if line.startswith("BENCH_RESULT "):
             # drop this run's warehouse + shuffle dirs before the next
             # measurement starts (keeps tmpfs pressure flat across runs)
-            shutil.rmtree(wh_dir, ignore_errors=True)
+            if not keep_wh:
+                shutil.rmtree(wh_dir, ignore_errors=True)
             return json.loads(line[len("BENCH_RESULT "):])
     sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
     raise RuntimeError(f"bench worker failed for {master}")
+
+
+def run_export(master: str, wh_dir: str, scratch: str) -> dict:
+    """Time the warehouse→train-shards export (lectura/export.py) over a
+    just-crawled warehouse; synthetic pages classify lang_guess='und', so
+    the language gate is disabled to measure the dedup/cluster stages on
+    the full extraction output."""
+    cmd = [
+        sys.executable, "-m", "lectura.export",
+        "--warehouse", wh_dir, "--master", master, "--langs", "any",
+    ]
+    t0 = time.time()
+    p = subprocess.run(cmd, capture_output=True, text=True,
+                       env=_worker_env(scratch), cwd=REPO)
+    wall = round(time.time() - t0, 3)
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            stats = json.loads(line)
+            n = stats.get("n_docs", 0)
+            return {"wall_sec": wall, "n_docs": n,
+                    "docs_per_sec": round(n / wall, 1) if wall else 0.0}
+    sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-2000:] + "\n")
+    raise RuntimeError("export bench failed")
 
 
 def main() -> None:
@@ -193,8 +217,15 @@ def main() -> None:
     big_a = run_crawl(f"local[{CPUS}]", corpus_dir,
                       os.path.join(scratch, "wh_biga"), scratch)
     big_b = run_crawl(f"local[{CPUS}]", corpus_dir,
-                      os.path.join(scratch, "wh_bigb"), scratch)
+                      os.path.join(scratch, "wh_bigb"), scratch,
+                      keep_wh=True)
     big = min(big_a, big_b, key=lambda r: r["crawl_sec"])
+    # train-shards export over the second headline run's warehouse (the
+    # crawl→extract→export completion of the pipeline), then drop it
+    # before the scaling legs so tmpfs pressure stays flat
+    export = run_export(f"local[{CPUS}]",
+                        os.path.join(scratch, "wh_bigb"), scratch)
+    shutil.rmtree(os.path.join(scratch, "wh_bigb"), ignore_errors=True)
     sc_big1 = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
                         os.path.join(scratch, "wh_sc4na"), scratch,
                         rounds=SCALE_ROUNDS)
@@ -216,6 +247,7 @@ def main() -> None:
 
     queries = dict(big["rounds"])
     queries.update(qtimes)
+    queries["export_train_docs"] = export["wall_sec"]
     result = {
         "metric": "crawl_3rounds_wall_sec_local%d" % CPUS,
         "value": round(big["crawl_sec"], 3),
@@ -230,6 +262,7 @@ def main() -> None:
         "scheduled": big["scheduled"],
         "extracted": big["extracted"],
         "throughput_urls_per_sec": big["urls_per_sec"],
+        "export": export,
         "scaling": {
             "small_master": f"local[{SCALE_N}]",
             "big_master": f"local[{SCALE_4N}]",

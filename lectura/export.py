@@ -11,12 +11,17 @@ slim stats projection and one that re-processes the whole corpus.
 
 Plan shape (all shuffles keyed and bounded):
   1. quality/language gates — scan-stage filters (predicate pushdown);
-  2. exact dedup — one hash-partition on `fingerprint` (window keeps the
+  2. exact dedup — one hash-partition on `fingerprint` over the SLIM
+     (url, fingerprint, simhash) projection (window keeps the
      lexicographically-smallest url, counts copies for lineage);
   3. near-dup clustering — simhash 4×16-bit pigeonhole banding
-     (equi-join, lossless for hamming ≤ 3) → connected components
-     (large-star/small-star, O(log n) rounds) → one window per component
-     keeps the canonical doc and records the cluster size.
+     (equi-join, lossless for hamming ≤ 3, hot buckets df-capped) →
+     connected components (large-star/small-star, O(log n) rounds) →
+     one window per component keeps the canonical doc and records the
+     cluster size;
+  4. winner join — the only stage that touches `text`: one hash join by
+     url fans the kept-url set against the gated scan and feeds the
+     url-partitioned shard write.
 
 Node ids for the component step are xxhash64(url): at the 10^10-doc
 design point the expected number of colliding pairs is ~0.003·(n/10^9)²,
@@ -32,7 +37,7 @@ from pyspark.sql import functions as F
 
 from lectura.graphops import connected_components
 from lectura.tables import Warehouse
-from lectura.textops import simhash_band_pairs
+from lectura.textops import simhash_band_pairs, simhash_chunks
 
 EXPORT_COLS = ("url", "text", "n_tokens", "quality", "lang_guess",
                "fingerprint", "simhash")
@@ -42,15 +47,28 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                   min_quality: float = 0.0,
                   langs: tuple[str, ...] | None = ("en",),
                   max_hamming: int = 3,
+                  band_max_df: int | None = 256,
                   out_table: str = "train_docs",
                   n_parts: int = 32) -> dict:
     """Materialize the crawl's extracted text as train-ready shards.
 
-    Returns {"table", "n_docs"}; the written table carries per-doc
-    lineage (`n_exact_copies`, `cluster_size`) so downstream sampling can
-    up/down-weight by duplication. `max_hamming` ≤ 3 keeps the banding
-    join lossless (pigeonhole over 4 chunks); raise it only accepting
-    recall-heuristic semantics."""
+    Returns {"table", "n_docs", "n_hot_buckets_dropped"}; the written
+    table carries per-doc lineage (`n_exact_copies`, `cluster_size`) so
+    downstream sampling can up/down-weight by duplication. `max_hamming`
+    ≤ 3 keeps the banding join lossless (pigeonhole over 4 chunks); raise
+    it only accepting recall-heuristic semantics.
+
+    Both dedup stages run over a SLIM projection (url, fingerprint,
+    simhash ≈ 40 B/doc): the text column never enters a window or the CC
+    iterations, and is shuffled exactly once — by the final winner join
+    that also provides the output's hash-partitioning by url. At 10^10
+    docs the slim winner table is ~400 GB spread across the cluster while
+    the text bytes stay in scan→join→write.
+
+    `band_max_df` (simhash_band_pairs) caps the per-bucket document
+    frequency so boilerplate-saturated signatures can't turn the banding
+    self-join quadratic; dropped buckets are counted and reported, never
+    silent. None disables the cap (exact banding semantics)."""
     docs = wh.read("text").select(*EXPORT_COLS)
     gated = docs.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -59,39 +77,51 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     if langs is not None:
         gated = gated.filter(F.col("lang_guess").isin(list(langs)))
 
+    slim = gated.select("url", "fingerprint", "simhash")
     exact_w = Window.partitionBy("fingerprint")
-    exact = (
-        gated.withColumn("_rn", F.row_number().over(exact_w.orderBy("url")))
+    winners = (
+        slim.withColumn("_rn", F.row_number().over(exact_w.orderBy("url")))
         .withColumn("n_exact_copies", F.count("*").over(exact_w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .withColumn("_nid", F.xxhash64("url"))
+        .persist()
     )
 
-    pairs = simhash_band_pairs(
-        exact.select(F.col("_nid").alias("id"),
-                     F.col("simhash").alias("sh")),
-        max_hamming=max_hamming,
-    )
+    sig = winners.select(F.col("_nid").alias("id"),
+                         F.col("simhash").alias("sh"))
+    n_hot = 0
+    if band_max_df is not None:
+        n_hot = int(
+            simhash_chunks(sig).groupBy("chunk", "val").count()
+            .filter(F.col("count") > band_max_df).count()
+        )
+    pairs = simhash_band_pairs(sig, max_hamming=max_hamming,
+                               max_df=band_max_df)
     comp = connected_components(
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     ).localCheckpoint()
     labeled = (
-        exact.join(F.broadcast(comp) if _small(comp) else comp,
-                   exact["_nid"] == comp["node"], "left")
+        winners.join(F.broadcast(comp) if _small(comp) else comp,
+                     winners["_nid"] == comp["node"], "left")
         .withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
         .drop("node", "component")
     )
     comp_w = Window.partitionBy("_comp")
-    out = (
+    keep = (
         labeled.withColumn("_rn", F.row_number().over(comp_w.orderBy("url")))
         .withColumn("cluster_size", F.count("*").over(comp_w))
         .filter(F.col("_rn") == 1)
-        .select(*EXPORT_COLS, "n_exact_copies", "cluster_size")
+        .select("url", "n_exact_copies", "cluster_size")
+    )
+    out = gated.join(keep, "url").select(
+        *EXPORT_COLS, "n_exact_copies", "cluster_size"
     )
     snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
+    winners.unpersist()
     n_docs = wh.count_rows(wh._files(out_table))
-    return {"table": out_table, "snapshot": snap, "n_docs": int(n_docs)}
+    return {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
+            "n_hot_buckets_dropped": n_hot}
 
 
 def _small(df: DataFrame, bound: int = 5_000_000) -> bool:
@@ -119,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--langs", default="en",
                     help="comma-separated allowlist; 'any' disables")
     ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--band-max-df", type=int, default=256,
+                    help="hot-bucket cap for the simhash banding join; "
+                         "0 disables")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -128,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
     stats = export_corpus(
         wh, min_tokens=args.min_tokens, min_quality=args.min_quality,
         langs=langs, max_hamming=args.max_hamming, out_table=args.out_table,
+        band_max_df=args.band_max_df or None,
     )
     print(json.dumps(stats))
     return 0

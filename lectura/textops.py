@@ -174,14 +174,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     return simhash_band_pairs(sh, max_hamming)
 
 
-def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs from precomputed signatures (`id`, `sh` signed i64).
-    Candidate generation bands the 64-bit signature into 4×16-bit chunks:
-    any pair with hamming distance ≤ 3 must agree on at least one chunk
-    (pigeonhole), so the chunk equi-join is a lossless filter for
-    max_hamming ≤ 3 and a high-recall heuristic above that. Exact hamming
-    via bit_count(xor) afterwards."""
-    chunks = sh.select(
+def simhash_chunks(sh: DataFrame) -> DataFrame:
+    """Explode (`id`, `sh`) into the 4×16-bit band rows
+    (id, sh, chunk, val) that drive the banding self-join — exposed so
+    callers can inspect bucket document-frequency (hot-bucket stats)."""
+    return sh.select(
         "id", "sh",
         F.explode(F.array(*[
             F.struct(
@@ -191,6 +188,40 @@ def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8) -> DataFrame:
             ) for c in range(4)
         ])).alias("cc"),
     ).select("id", "sh", "cc.chunk", "cc.val")
+
+
+def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8,
+                       max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs from precomputed signatures (`id`, `sh` signed i64).
+    Candidate generation bands the 64-bit signature into 4×16-bit chunks:
+    any pair with hamming distance ≤ 3 must agree on at least one chunk
+    (pigeonhole), so the chunk equi-join is a lossless filter for
+    max_hamming ≤ 3 and a high-recall heuristic above that. Exact hamming
+    via bit_count(xor) afterwards.
+
+    `max_df` caps the bucket document frequency (standard LSH hot-bucket
+    guard): a chunk value shared by k docs makes ~k²/2 candidate rows, so
+    one boilerplate-saturated bucket turns the self-join quadratic —
+    buckets with more than `max_df` members are dropped from candidate
+    generation (their pairs can still surface through the doc's other 3
+    chunks). With the cap, candidate rows are bounded by 2·max_df·|chunks|
+    regardless of skew. None (default) preserves exact banding semantics
+    for the contract oracles."""
+    chunks = simhash_chunks(sh)
+    if max_df is not None:
+        # hot buckets are few by construction (each needs > max_df rows),
+        # so the exclusion list broadcasts; the count agg shuffles on the
+        # same (chunk, val) key the self-join needs anyway
+        hot = (
+            chunks.groupBy("chunk", "val").count()
+            .filter(F.col("count") > max_df).select("chunk", "val")
+        )
+        chunks = chunks.join(F.broadcast(hot), ["chunk", "val"], "left_anti")
+        # explicit-width repartition: the chunk table is tiny in bytes, so
+        # AQE would coalesce the join to ~1 task while its OUTPUT (pairs)
+        # is the large side — spread buckets across real parallelism
+        n_parts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        chunks = chunks.repartition(n_parts, "chunk", "val")
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

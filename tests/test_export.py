@@ -118,6 +118,30 @@ def test_export_matches_pure_reference(text_wh):
                              got[u2].simhash & (2**64 - 1)) > 3
 
 
+def test_export_saturated_simhash_bucket_capped(spark, tmp_path):
+    """Boilerplate-saturated corpus (every doc the same simhash, distinct
+    fingerprints — the synthetic-bench regime): without the df cap the
+    banding self-join is quadratic; with it, export completes, reports the
+    dropped buckets, and keeps every doc as its own cluster."""
+    rows = [{
+        "url": f"http://s{i % 7}.example/p{i}", "text": f"doc {i} " * 30,
+        "n_tokens": 60, "quality": 0.9, "lang_guess": "en",
+        "fingerprint": i + 1, "simhash": 0x7EADBEEF_00C0FFEE,
+    } for i in range(300)]
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("text", spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="url string, text string, n_tokens int, quality double, "
+               "lang_guess string, fingerprint long, simhash long",
+    ))
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3,
+                          band_max_df=64, n_parts=4)
+    assert stats["n_hot_buckets_dropped"] == 4   # all 4 chunks saturated
+    assert stats["n_docs"] == 300                # no pairs → no clustering
+    got = wh.read("train_docs").collect()
+    assert all(r.cluster_size == 1 for r in got)
+
+
 def test_export_gates_and_determinism(text_wh):
     wh, docs = text_wh
     r1 = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)

@@ -88,6 +88,35 @@ def test_simhash_finds_planted_and_matches_pure(spark, planted):
         )
 
 
+def test_simhash_band_pairs_hot_bucket_cap(spark):
+    """max_df drops saturated band buckets (quadratic-join guard) but
+    keeps pairs reachable through a doc's other, cooler chunks; None
+    preserves exact banding semantics."""
+    from lectura.textops import simhash_band_pairs
+
+    # 40 signatures all sharing chunk0 == 0x00AB (one hot bucket); the
+    # first two also share chunks 1-3 (a genuine near-dup pair reachable
+    # through cool buckets); the rest differ in every other chunk.
+    hot = 0x00AB
+    sigs = [(0, (0x1111 << 48) | (0x2222 << 32) | (0x3333 << 16) | hot),
+            (1, (0x1111 << 48) | (0x2222 << 32) | (0x3333 << 16) | hot)]
+    for i in range(2, 40):
+        sigs.append((i, (i << 48) | ((i + 7) << 32) | ((i + 13) << 16) | hot))
+    sh = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= (1 << 63) else s) for i, s in sigs],
+        schema="id long, sh long",
+    )
+    uncapped = simhash_band_pairs(sh, max_hamming=64)
+    capped = simhash_band_pairs(sh, max_hamming=64, max_df=8)
+    assert uncapped.count() == 40 * 39 // 2     # hot bucket → all pairs
+    got = {(r.d1, r.d2) for r in capped.collect()}
+    assert got == {(0, 1)}                      # only the cool-chunk pair
+    # a cap wider than every bucket changes nothing
+    wide = {(r.d1, r.d2) for r in
+            simhash_band_pairs(sh, max_hamming=64, max_df=40).collect()}
+    assert len(wide) == 40 * 39 // 2
+
+
 def test_ngram_jaccard_pairs_exact_values(spark, planted):
     from lectura.textops import ngram_jaccard_pairs
 
