@@ -895,6 +895,22 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=8)
 
 
+# SimHash banding with the hot-bucket document-frequency cap (the
+# quadratic-join guard the export pipeline runs with): buckets holding
+# more than max_df signatures are excluded from candidate generation.
+# max_df=8 binds on this fixture (drops 4 buckets, 118 → 84 pairs), so
+# the hash check fails if the cap over- or under-drops.
+@q("dedup_simhash_capped",
+   _osql.dedup_simhash_sql(max_hamming=8, max_df=8))
+def dedup_simhash_capped(spark, sf_dir):
+    from lectura.textops import simhash_band_pairs, simhash_udf
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     simhash_udf(F.col("text")).alias("sh"))
+    return simhash_band_pairs(sh, max_hamming=8, max_df=8)
+
+
 # Embedding-cosine near-dup pairs (bounded all-pairs baseline)
 @q(
     "dedup_cosine_pairs",
@@ -1663,6 +1679,40 @@ def corpus_export(spark, sf_dir):
     from lectura.textops import corpus_export as op
 
     return op(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus selection (lectura/sampling.py): deterministic hash-mod
+# stratified sampling (scan-stage filter, no shuffle) and token-budget
+# shard packing (exact global prefix sum without a single-partition
+# window). Oracles replicate Spark's xxhash64 bit-for-bit / the running
+# sum in plain SQL.
+# ---------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 0.5, "de": 0.2}
+
+
+@q("sample_stratified",
+   _osql.sample_stratified_sql(_SAMPLE_RATES, default_rate=0.05, salt="r2"))
+def sample_stratified(spark, sf_dir):
+    from lectura.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(docs, "doc_id", _SAMPLE_RATES, "lang",
+                             default_rate=0.05, salt="r2")
+
+
+@q("shard_pack", _osql.shard_pack_sql(budget=10_000))
+def shard_pack(spark, sf_dir):
+    from lectura.sampling import pack_shards
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_shards(docs, "doc_id", "n_chars", budget=10_000)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_weight"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -191,9 +191,13 @@ FROM words w2 LEFT JOIN doc_fps d USING (doc_id)
 """
 
 
-def dedup_simhash_sql(max_hamming: int = 8, max_doc_id: int = 300) -> str:
+def dedup_simhash_sql(max_hamming: int = 8, max_doc_id: int = 300,
+                      max_df: int | None = None) -> str:
     """SimHash near-dup pairs: per-doc 64-bit signature from the 64
-    per-bit majority sums, 4×16-bit pigeonhole banding, exact hamming."""
+    per-bit majority sums, 4×16-bit pigeonhole banding, exact hamming.
+    `max_df` mirrors simhash_band_pairs' hot-bucket document-frequency
+    cap: band buckets with more than max_df members are excluded from
+    candidate generation."""
     bits = " +\n".join(
         f"    CASE WHEN 2*sum(((f // {1 << i}::HUGEINT) % 2)::BIGINT) > count(*)"
         f" THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
@@ -219,12 +223,23 @@ sh0 AS (
                         ELSE 281474976710656 END::HUGEINT))
           % 65536)::BIGINT AS val
   FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
-)
+){_df_cap_cte(max_df)}
 SELECT DISTINCT a.id AS d1, b.id AS d2, bit_count(xor(a.s, b.s)) AS hamming
-FROM chunks a JOIN chunks b
+FROM {"chunksf" if max_df is not None else "chunks"} a
+JOIN {"chunksf" if max_df is not None else "chunks"} b
   ON a.c = b.c AND a.val = b.val AND a.id < b.id
 WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
 """
+
+
+def _df_cap_cte(max_df: int | None) -> str:
+    if max_df is None:
+        return ""
+    return f""", cool AS (
+  SELECT c, val FROM chunks GROUP BY c, val HAVING count(*) <= {max_df}
+), chunksf AS (
+  SELECT ch.* FROM chunks ch JOIN cool USING (c, val)
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +283,51 @@ by_bucket AS (
 )
 SELECT count(*) AS n_buckets, min(cnt) AS min_n, max(cnt) AS max_n
 FROM by_bucket
+"""
+
+
+def sample_stratified_sql(rates: dict[str, float],
+                          default_rate: float = 0.0,
+                          salt: str = "") -> str:
+    """Deterministic stratified sample over `documents`, mirroring
+    lectura/sampling.py:stratified_sample — keep iff
+    pmod(xxhash64(doc_id || '|' || salt), 1e6) < rate(lang) * 1e6."""
+    res = 1_000_000
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(r * res)}"
+        for v, r in sorted(rates.items())
+    )
+    inputs = (f"SELECT doc_id, lang, n_chars,"
+              f" doc_id::VARCHAR || '|{salt}' AS k FROM documents")
+    # `hashed` MUST be MATERIALIZED: filtering directly on x7.h makes
+    # DuckDB's optimizer inline the whole hash expression tree into the
+    # predicate (exponential planning time); the barrier keeps the hash
+    # a plain column.
+    return f"""
+WITH inputs AS ({inputs}),{xxhash64_ctes("inputs", "k", out="h")},
+hashed AS MATERIALIZED (SELECT doc_id, lang, n_chars, h FROM x7)
+SELECT doc_id, lang, n_chars
+FROM hashed
+WHERE {pmod('h', res)} < CASE {cases} ELSE {int(default_rate * res)} END
+"""
+
+
+def shard_pack_sql(budget: int) -> str:
+    """Per-shard rollup of the token-budget shard packing over
+    `documents` (order by doc_id, weight n_chars), mirroring
+    lectura/sampling.py:pack_shards — shard_id = floor(exclusive global
+    prefix sum / budget)."""
+    return f"""
+WITH packed AS (
+  SELECT doc_id, n_chars,
+         (sum(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_chars) // {budget} AS shard_id
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS total_weight,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY 1
 """
 
 

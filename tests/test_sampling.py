@@ -1,0 +1,74 @@
+"""Corpus selection operators (lectura/sampling.py): hash-sample
+determinism/nesting, exact-prefix-sum shard packing invariant to the
+partition count, both vs pure-Python references."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lectura.sampling import pack_shards, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [{"doc_id": i, "lang": ("en", "de", "fr")[i % 3],
+             "w": 10 + (i * 37) % 90} for i in range(400)]
+    return spark.createDataFrame(pd.DataFrame(rows),
+                                 schema="doc_id long, lang string, w long")
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, docs):
+    rates = {"en": 0.6, "de": 0.2}
+    a = {r.doc_id for r in
+         stratified_sample(docs, "doc_id", rates, "lang",
+                           default_rate=0.1, salt="s1").collect()}
+    b = {r.doc_id for r in
+         stratified_sample(docs, "doc_id", rates, "lang",
+                           default_rate=0.1, salt="s1").collect()}
+    assert a == b and a  # deterministic, non-empty
+    by_lang = {r.doc_id: r.lang for r in docs.collect()}
+    n = {"en": 0, "de": 0, "fr": 0}
+    for d in a:
+        n[by_lang[d]] += 1
+    tot = {"en": 134, "de": 133, "fr": 133}
+    # hash-uniformity at n≈134: observed rate within ±0.15 of configured
+    assert abs(n["en"] / tot["en"] - 0.6) < 0.15
+    assert abs(n["de"] / tot["de"] - 0.2) < 0.15
+    assert abs(n["fr"] / tot["fr"] - 0.1) < 0.15
+
+
+def test_stratified_sample_nested_rates_and_salt_independence(spark, docs):
+    lo = {r.doc_id for r in
+          stratified_sample(docs, "doc_id", {"en": 0.3}, "lang",
+                            salt="s1").collect()}
+    hi = {r.doc_id for r in
+          stratified_sample(docs, "doc_id", {"en": 0.7}, "lang",
+                            salt="s1").collect()}
+    assert lo <= hi                      # rate increase only adds rows
+    other = {r.doc_id for r in
+             stratified_sample(docs, "doc_id", {"en": 0.3}, "lang",
+                               salt="s2").collect()}
+    assert other != lo                   # new salt = independent draw
+
+
+def test_pack_shards_exact_prefix_sum_and_partition_invariance(spark, docs):
+    rows = sorted((r.doc_id, r.w) for r in docs.collect())
+    run, want = 0, {}
+    for did, w in rows:
+        want[did] = run // 1000
+        run += w
+    for n_parts in (1, 7, 32):
+        got = {r.doc_id: r.shard_id for r in
+               pack_shards(docs, "doc_id", "w", budget=1000,
+                           n_parts=n_parts).collect()}
+        assert got == want, f"n_parts={n_parts}"
+
+
+def test_pack_shards_no_global_single_partition_window(spark, docs):
+    plan = (
+        pack_shards(docs, "doc_id", "w", budget=1000, n_parts=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only Exchange is the range partition (+ the tiny broadcast);
+    # an empty-partitionBy window would show SinglePartition here
+    assert "SinglePartition" not in plan
