@@ -1688,6 +1688,32 @@ def corpus_export(spark, sf_dir):
 # window). Oracles replicate Spark's xxhash64 bit-for-bit / the running
 # sum in plain SQL.
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: corpus = doc_id % 7 != 0, "benchmark" =
+# the held-out rest (deterministic split of the fixture table); a corpus
+# doc is contaminated iff it shares a distinct word 4-gram with any
+# benchmark doc. n=4 binds on this fixture: 93 of 429 corpus docs hit,
+# with varying shingle/bench-doc counts.
+@q("decontaminate_ngrams", _osql.contamination_sql(n=4, bench_mod=7))
+def decontaminate_ngrams(spark, sf_dir):
+    from lectura.textops import contamination_stats
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_stats(corpus, bench, n=4)
+
+
+# Gopher-style repetition signals (dup-word fraction array-side in the
+# scan stage; modal-2-gram share via explode + two-level hash agg).
+@q("repetition_metrics", _osql.repetition_sql(n=2))
+def repetition_metrics(spark, sf_dir):
+    from lectura.textops import repetition_stats
+
+    return repetition_stats(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), n=2
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.2}
 
 

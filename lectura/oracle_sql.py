@@ -331,6 +331,65 @@ FROM packed GROUP BY 1
 """
 
 
+def _shingle_ctes(n: int, distinct: bool = True,
+                  where: str = "TRUE") -> str:
+    """CTEs `words` → `shr` producing (doc_id, s) word n-grams over
+    `documents`, mirroring textops word_ngrams/_gram_stream: slice-of-n
+    join, short docs yield their full-word join, empty grams dropped;
+    DISTINCT per doc iff `distinct`."""
+    d = "DISTINCT " if distinct else ""
+    return f"""words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE {where}
+), sh_all AS (
+  SELECT {d}doc_id,
+         unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                 for i in generate_series(1, greatest(len(w) - {n - 1}, 1))]) AS s
+  FROM words
+), shr AS (SELECT doc_id, s FROM sh_all WHERE s <> '')"""
+
+
+def contamination_sql(n: int = 3, bench_mod: int = 7) -> str:
+    """Benchmark-decontamination oracle: corpus = doc_id % bench_mod
+    != 0, benchmark = the rest; per contaminated corpus doc, distinct
+    shared n-grams and distinct benchmark docs hit (mirrors
+    textops.contamination_stats)."""
+    return f"""
+WITH {_shingle_ctes(n)}
+SELECT d.doc_id,
+       count(DISTINCT d.s) AS n_hit_shingles,
+       count(DISTINCT b.doc_id) AS n_bench_docs
+FROM shr d JOIN shr b ON d.s = b.s
+WHERE d.doc_id % {bench_mod} <> 0 AND b.doc_id % {bench_mod} = 0
+GROUP BY d.doc_id
+"""
+
+
+def repetition_sql(n: int = 2) -> str:
+    """Gopher-style repetition signals per doc (mirrors
+    textops.repetition_stats): word-level duplicate fraction plus the
+    occurrence share of the modal word n-gram and the duplicate-n-gram
+    occurrence fraction."""
+    return f"""
+WITH {_shingle_ctes(n, distinct=False)},
+wstats AS (
+  SELECT doc_id, len(w) AS n_words,
+         1 - len(list_distinct(w)) / len(w) AS dup_word_frac
+  FROM words
+), cnt AS (
+  SELECT doc_id, s, count(*) AS c FROM shr GROUP BY 1, 2
+), gstats AS (
+  SELECT doc_id, max(c) / sum(c) AS top_ngram_frac,
+         1 - count(*) / sum(c) AS dup_ngram_frac
+  FROM cnt GROUP BY 1
+)
+SELECT w.doc_id, n_words, dup_word_frac,
+       coalesce(top_ngram_frac, 0.0) AS top_ngram_frac,
+       coalesce(dup_ngram_frac, 0.0) AS dup_ngram_frac
+FROM wstats w LEFT JOIN gstats USING (doc_id)
+"""
+
+
 def dedup_minhash_lsh_sql(k: int = 32, bands: int = 8, n: int = 3,
                           min_est_jaccard: float = 0.5,
                           max_doc_id: int = 300) -> str:

@@ -243,6 +243,91 @@ def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination + repetition signals — the two remaining
+# gates a training-data pipeline runs between dedup and sampling.
+# ---------------------------------------------------------------------------
+
+def _gram_stream(df: DataFrame, n: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, gram) word n-grams WITH multiplicity (word_ngrams minus the
+    DISTINCT — repetition counting needs the raw occurrence stream).
+    Same slice semantics: a doc shorter than n yields its full-word
+    join; empty grams are dropped."""
+    w = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+
+
+def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per training doc, its distinct-n-gram
+    overlap with an eval/benchmark set (the GPT-3/PaLM-style n-gram
+    contamination check). Returns one row per CONTAMINATED doc:
+    (doc_id, n_hit_shingles, n_bench_docs).
+
+    Scale shape: the benchmark side is small by definition (an eval
+    suite is ≤10^6 distinct n-grams even for a big harness), so it is
+    broadcast and the 100 TB corpus side streams through a map-side
+    hash join in its scan stage — the corpus is never shuffled; only
+    the hit rows (a tiny fraction) reach the per-doc aggregation."""
+    d_sh = word_ngrams(docs, text_col=text_col, n=n, id_col=id_col)
+    b_sh = (
+        word_ngrams(bench, text_col=text_col, n=n, id_col=id_col)
+        .withColumnRenamed("id", "bench_id")
+    )
+    return (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, n: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per doc: (doc_id, n_words,
+    dup_word_frac, top_ngram_frac, dup_ngram_frac) where top_ngram_frac
+    is the occurrence share of the most frequent word n-gram and
+    dup_ngram_frac the fraction of n-gram occurrences that are repeats.
+
+    Scale shape: word-level stats come from array functions in the scan
+    stage (no shuffle at all); the n-gram mode needs counting, done as
+    explode → two-level hash agg keyed on (doc, gram) then (doc) —
+    linear in corpus size with partial aggregation, never the O(len²)
+    per-doc higher-order-function alternative (a 20 k-word doc would
+    cost 4×10^8 comparisons that way)."""
+    w = words(F.col(text_col))
+    word_stats = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        (F.lit(1) - F.size(F.array_distinct(w)) / F.size(w))
+        .alias("dup_word_frac"),
+    )
+    gram_stats = (
+        _gram_stream(df, n=n, id_col=id_col, text_col=text_col)
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            (F.max("c") / F.sum("c")).alias("top_ngram_frac"),
+            (F.lit(1) - F.count("*") / F.sum("c")).alias("dup_ngram_frac"),
+        )
+    )
+    return word_stats.join(gram_stats, id_col, "left").fillna(
+        0.0, subset=["top_ngram_frac", "dup_ngram_frac"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus export: the end-to-end materialization pass a training-data
 # pipeline ships — language gate → quality gates → exact dedup — composed
 # from the operators above so the whole thing stays JVM-side.

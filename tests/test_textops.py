@@ -247,3 +247,64 @@ def test_ivf_index_partitions_cover_all_rows(spark):
     assert idx.count() == emb.count()
     cids = [r.cid for r in idx.select("cid").distinct().collect()]
     assert all(0 <= c < 8 for c in cids)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + repetition signals (textops.contamination_stats /
+# repetition_stats) vs in-test pure-Python references.
+# ---------------------------------------------------------------------------
+
+def _py_ngrams(text, n, distinct):
+    w = text.split()
+    grams = [" ".join(w[i:i + n]) for i in range(max(len(w) - n, 0) + 1)]
+    grams = [g for g in grams if g]
+    return set(grams) if distinct else grams
+
+
+def test_contamination_stats_matches_pure(spark, planted):
+    from lectura.textops import contamination_stats
+
+    rows = {r.doc_id: r.text for r in planted.collect()}
+    bench_ids = {i for i in rows if i % 3 == 0}
+    corpus = planted.filter(F.col("doc_id") % 3 != 0)
+    bench = planted.filter(F.col("doc_id") % 3 == 0)
+    bench_sh = {i: _py_ngrams(rows[i], 4, True) for i in bench_ids}
+    want = {}
+    for i, text in rows.items():
+        if i in bench_ids:
+            continue
+        sh = _py_ngrams(text, 4, True)
+        hit = set().union(*(sh & b for b in bench_sh.values()))
+        n_docs = sum(1 for b in bench_sh.values() if sh & b)
+        if hit:
+            want[i] = (len(hit), n_docs)
+    got = {r.doc_id: (r.n_hit_shingles, r.n_bench_docs)
+           for r in contamination_stats(corpus, bench, n=4).collect()}
+    assert got == want and want  # the planted dups guarantee hits
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, planted):
+    from lectura.textops import contamination_stats
+
+    plan = (
+        contamination_stats(planted, planted.limit(5), n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+
+
+def test_repetition_stats_matches_pure(spark, planted):
+    from collections import Counter
+
+    from lectura.textops import repetition_stats
+
+    got = {r.doc_id: r for r in repetition_stats(planted, n=2).collect()}
+    for i, text in ((r.doc_id, r.text) for r in planted.collect()):
+        w = text.split()
+        grams = Counter(_py_ngrams(text, 2, False))
+        tot = sum(grams.values())
+        r = got[i]
+        assert r.n_words == len(w)
+        assert abs(r.dup_word_frac - (1 - len(set(w)) / len(w))) < 1e-12
+        assert abs(r.top_ngram_frac - max(grams.values()) / tot) < 1e-12
+        assert abs(r.dup_ngram_frac - (1 - len(grams) / tot)) < 1e-12
