@@ -121,6 +121,48 @@ def scan_json_s10(spark, sf_dir):
     )
 
 
+# S12 — bucketed tables: both join sides hash-bucketed by the join key
+# at write time, so the recurring join plans with NO Exchange (the plan
+# shape is pinned in tests/test_plans.py; this query checks the values
+# survive the bucketed round-trip). Money summed in exact cents — a
+# float sum's addition order differs between engines.
+@q(
+    "bucketed_join_s12",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_s12(spark, sf_dir):
+    from lectura.sources import write_bucketed
+
+    root = f"/dev/shm/lectura_s12/{os.path.basename(os.path.normpath(sf_dir))}"
+    write_bucketed(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice"),
+        "b_orders", "o_custkey", 8, f"{root}/orders",
+        sort_cols=("o_custkey",),
+    )
+    write_bucketed(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "b_customer", "c_custkey", 8, f"{root}/customer",
+        sort_cols=("c_custkey",),
+    )
+    return (
+        spark.table("b_orders")
+        .join(spark.table("b_customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        )
+    )
+
+
 # U7 — string functions
 @q(
     "string_fns",

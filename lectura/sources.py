@@ -40,6 +40,31 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
 
 
 # ---------------------------------------------------------------------------
+# S12: bucketed tables — the co-located-join storage layout for the
+# big recurring joins (fetch_log ⋈ scheduled by url, host_state ⋈
+# frontier by host). Hash-bucketing both sides of a recurring join key
+# at WRITE time makes every subsequent join on that key shuffle-free:
+# at 100 TB the shuffle is the bottleneck, and a bucketed layout pays
+# its one-time write cost back on the first re-join.
+# ---------------------------------------------------------------------------
+
+def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int,
+                   path: str, sort_cols: tuple[str, ...] = ()) -> None:
+    """Persist `df` as a catalog table hash-bucketed by `key` into
+    `n_buckets` files per partition at `path` (external table; the
+    session catalog records the bucket spec that lets the planner drop
+    the Exchange). `sort_cols` additionally sorts within buckets so a
+    sort-merge join also skips the per-task sort."""
+    w = (
+        df.write.mode("overwrite").format("parquet").option("path", path)
+        .bucketBy(n_buckets, key)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+# ---------------------------------------------------------------------------
 # S11: sitemap ingestion. Sitemaps are the crawl's third discovery source
 # (after seed lists and extracted outlinks): fetched like any page, parsed
 # here into frontier candidates.

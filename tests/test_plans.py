@@ -241,3 +241,33 @@ def test_sort_agg_delegation_a7(spark):
     )
     assert ("SortAggregate" in struct_plan
             or "ObjectHashAggregate" in struct_plan), struct_plan
+
+
+def test_bucketed_join_has_no_shuffle_s12(spark, tmp_path):
+    """S12: both sides hash-bucketed by the join key at write time →
+    the equi-join plans with NO shuffle Exchange at all (broadcast
+    disabled so the co-location, not a broadcast, is what removes it)."""
+    from lectura.sources import write_bucketed
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k2"), (F.col("id") % 7).alias("b")
+    )
+    write_bucketed(left, "tp_bleft", "k", 4, str(tmp_path / "l"),
+                   sort_cols=("k",))
+    write_bucketed(right, "tp_bright", "k2", 4, str(tmp_path / "r"),
+                   sort_cols=("k2",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("tp_bleft").join(
+            spark.table("tp_bright"), F.col("k") == F.col("k2")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert not exchange_inputs(plan), plan  # zero shuffle exchanges
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
