@@ -189,6 +189,37 @@ class Warehouse:
             )
         return self.spark.read.parquet(*files)
 
+    def compact(self, name: str,
+                target_file_bytes: int = 128 << 20,
+                cluster_by: tuple[str, ...] = ()) -> int | None:
+        """Binpack the table's accumulated small files into ~target-sized
+        ones and commit the rewrite as a new snapshot (Iceberg
+        `rewrite_data_files` equivalent; old snapshots stay readable, so
+        resume-from-checkpoint is unaffected even if it points before
+        the compaction).
+
+        Why it exists: a long-running crawl appends a few files per
+        table per round, so after 10^3 rounds every read of `seen` or
+        `fetch_log` plans 10^3-10^4 splits and the driver's footer
+        metadata reads become serial round-loop latency. Compaction
+        caps file count at data-size/target.
+
+        The go/no-go decision uses manifest + filesystem metadata only
+        (no Spark job). Without `cluster_by` the rewrite is a coalesce —
+        narrow, no shuffle. With `cluster_by` it hash-repartitions on
+        those columns (one shuffle) so the rewrite doubles as a
+        re-clustering pass. Returns the new snapshot id, or None when
+        the table is already within 2x of the target file count."""
+        files = self._files(name)
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = int(max(1, -(-total // target_file_bytes)))
+        if len(files) <= 2 * n_out:
+            return None
+        df = self.read(name)
+        out = (df.repartition(n_out, *cluster_by) if cluster_by
+               else df.coalesce(n_out))
+        return self.overwrite(name, out)
+
     def rollback(self, name: str, snapshot: int) -> None:
         """Point HEAD back at an older snapshot (resume-after-crash path)."""
         if not os.path.exists(self._snap_path(name, snapshot)):
