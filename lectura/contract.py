@@ -726,6 +726,85 @@ def percentiles_a5(spark, sf_dir):
     )
 
 
+# A8 — pivot (wide per-status rollup; quantities summed as exact longs
+# so the float-addition order can't diverge between engines)
+@q(
+    "pivot_a8",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
+           sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS BIGINT) END) AS qty_o,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_a8(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    return p.join(counts, "l_returnflag")
+
+
+# A9 — unpivot/melt (long-form metric rows from wide columns)
+@q(
+    "unpivot_a9",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount
+          FROM lineitem WHERE l_orderkey < 2000)
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def unpivot_a9(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric", "value",
+        )
+    )
+
+
+# F13 — window-function breadth: lead / ntile / cume_dist / percent_rank
+# over the per-customer order sequence (unique order key -> total order,
+# so every value is deterministic; the rank ratios are exact small-int
+# divisions, bit-identical across engines)
+@q(
+    "window_ntile_f13",
+    """
+    SELECT o_orderkey, o_custkey,
+           lead(o_orderkey) OVER w AS next_ok,
+           ntile(4) OVER w AS q4,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_ntile_f13(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.ntile(4).over(w).alias("q4"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
 # ST2 — tumbling-window metrics (batch equivalent of the streaming agg)
 @q(
     "tumbling_st2",
