@@ -48,6 +48,12 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                   langs: tuple[str, ...] | None = ("en",),
                   max_hamming: int = 3,
                   band_max_df: int | None = 256,
+                  bench: DataFrame | None = None,
+                  contam_n: int = 8,
+                  sample_rates: dict[str, float] | None = None,
+                  sample_default_rate: float = 0.0,
+                  sample_salt: str = "",
+                  shard_tokens: int | None = None,
                   out_table: str = "train_docs",
                   n_parts: int = 32) -> dict:
     """Materialize the crawl's extracted text as train-ready shards.
@@ -68,7 +74,17 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     `band_max_df` (simhash_band_pairs) caps the per-bucket document
     frequency so boilerplate-saturated signatures can't turn the banding
     self-join quadratic; dropped buckets are counted and reported, never
-    silent. None disables the cap (exact banding semantics)."""
+    silent. None disables the cap (exact banding semantics).
+
+    Optional selection stages, run after dedup in pipeline order:
+    `bench` (a (url, text) DataFrame of eval/benchmark docs) drops every
+    doc sharing a distinct word `contam_n`-gram with it — the benchmark
+    side is broadcast, the corpus side never shuffles for the check;
+    `sample_rates` applies the deterministic per-`lang_guess` hash
+    sample (lectura/sampling.py — scan-stage filter, nested/idempotent);
+    `shard_tokens` assigns token-budget `shard_id`s via the exact global
+    prefix sum and the output keeps pack_shards' range layout (each
+    shard's rows are contiguous; no second text shuffle)."""
     docs = wh.read("text").select(*EXPORT_COLS)
     gated = docs.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -117,11 +133,50 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     out = gated.join(keep, "url").select(
         *EXPORT_COLS, "n_exact_copies", "cluster_size"
     )
-    snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
+
+    n_contaminated = 0
+    if bench is not None:
+        from lectura.textops import contamination_stats
+
+        hits = (
+            contamination_stats(out, bench, n=contam_n, id_col="url",
+                                text_col="text")
+            .select("url")
+            .persist()
+        )
+        n_contaminated = hits.count()  # also gates the broadcast below
+        out = out.join(
+            F.broadcast(hits) if n_contaminated <= 5_000_000 else hits,
+            "url", "left_anti",
+        )
+    if sample_rates is not None:
+        from lectura.sampling import stratified_sample
+
+        out = stratified_sample(out, "url", sample_rates, "lang_guess",
+                                default_rate=sample_default_rate,
+                                salt=sample_salt)
+    if shard_tokens:
+        from lectura.sampling import pack_shards
+
+        packed = pack_shards(out, "url", "n_tokens", budget=shard_tokens,
+                             n_parts=n_parts)
+        # pack_shards leaves the range layout: shard_id is monotone in
+        # url, so each shard's rows are already contiguous — write as-is
+        # rather than paying a second shuffle of the text column.
+        snap = wh.overwrite(out_table, packed)
+    else:
+        snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
     winners.unpersist()
     n_docs = wh.count_rows(wh._files(out_table))
-    return {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
-            "n_hot_buckets_dropped": n_hot}
+    stats = {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
+             "n_hot_buckets_dropped": n_hot}
+    if bench is not None:
+        stats["n_contaminated_dropped"] = int(n_contaminated)
+    if shard_tokens:
+        n_shards = wh.read(out_table).agg(
+            (F.max("shard_id") + 1).alias("n")).head()["n"]
+        stats["n_shards"] = int(n_shards or 0)
+    return stats
 
 
 def _small(df: DataFrame, bound: int = 5_000_000) -> bool:
@@ -152,16 +207,43 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--band-max-df", type=int, default=256,
                     help="hot-bucket cap for the simhash banding join; "
                          "0 disables")
+    ap.add_argument("--decontaminate", default=None,
+                    help="warehouse table or parquet path of benchmark "
+                         "docs (url, text); drops overlapping train docs")
+    ap.add_argument("--contam-ngram", type=int, default=8)
+    ap.add_argument("--sample", default=None,
+                    help="per-lang keep rates 'en=0.5,de=0.2[,*=0.05]' "
+                         "(deterministic hash sample; '*' = default rate)")
+    ap.add_argument("--sample-salt", default="")
+    ap.add_argument("--shard-tokens", type=int, default=None,
+                    help="pack docs into shards of ~this many tokens")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="lectura-export")
     wh = Warehouse(args.warehouse, spark)
     langs = None if args.langs == "any" else tuple(args.langs.split(","))
+    bench = None
+    if args.decontaminate:
+        bench = (wh.read(args.decontaminate)
+                 if wh.exists(args.decontaminate)
+                 else spark.read.parquet(args.decontaminate))
+    sample_rates, sample_default = None, 0.0
+    if args.sample:
+        sample_rates = {}
+        for part in args.sample.split(","):
+            k, v = part.split("=")
+            if k == "*":
+                sample_default = float(v)
+            else:
+                sample_rates[k] = float(v)
     stats = export_corpus(
         wh, min_tokens=args.min_tokens, min_quality=args.min_quality,
         langs=langs, max_hamming=args.max_hamming, out_table=args.out_table,
         band_max_df=args.band_max_df or None,
+        bench=bench, contam_n=args.contam_ngram,
+        sample_rates=sample_rates, sample_default_rate=sample_default,
+        sample_salt=args.sample_salt, shard_tokens=args.shard_tokens,
     )
     print(json.dumps(stats))
     return 0

@@ -149,3 +149,45 @@ def test_export_gates_and_determinism(text_wh):
     assert r1["n_docs"] == r2["n_docs"]
     got = {r.url for r in wh.read("train_docs").collect()}
     assert "http://short.example/" not in got  # token gate applied
+
+
+def test_export_selection_stages(spark, text_wh, tmp_path):
+    """Decontamination, stratified sampling, and shard packing composed
+    after dedup: bench overlap drops exactly the docs sharing a 4-gram
+    with the bench text; sampling at rate 1.0 keeps everything (and is
+    deterministic); shard_ids follow the exact url-ordered prefix sum."""
+    wh, docs = text_wh
+    base_stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                               out_table="sel_base")
+    kept = {r.url: r for r in wh.read("sel_base").collect()}
+
+    # bench = the surviving base-family keeper's text: its 4-grams hit
+    # every doc built from the same repeated sentence, and no random doc
+    bench_text = docs["http://a.example/base"]
+    bench = spark.createDataFrame(
+        pd.DataFrame([{"url": "bench://0", "text": bench_text}]))
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                          bench=bench, contam_n=4, out_table="sel_decon")
+    got = {r.url for r in wh.read("sel_decon").collect()}
+    want_dropped = {u for u in kept
+                    if docs[u].startswith("the report for spring")}
+    assert got == set(kept) - want_dropped and want_dropped
+    assert stats["n_contaminated_dropped"] == len(want_dropped)
+
+    # sampling: rate 1.0 keeps all (nested-sample property at the top),
+    # rate 0.0 default drops docs of unlisted strata (all are 'en' here)
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                          sample_rates={"en": 1.0}, out_table="sel_samp")
+    assert stats["n_docs"] == len(kept)
+
+    # shard packing: exact prefix-sum assignment in url order
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                          shard_tokens=200, out_table="sel_shard")
+    rows = sorted(((r.url, r.n_tokens, r.shard_id)
+                   for r in wh.read("sel_shard").collect()))
+    run = 0
+    for url, n_tok, sid in rows:
+        assert sid == run // 200, url
+        run += n_tok
+    assert stats["n_shards"] == rows[-1][2] + 1 > 1
+    assert stats["n_docs"] == len(kept)
