@@ -70,6 +70,8 @@ MAX_ROUND_URLS = max(2_000, N_URLS // 5)
 OPERATOR_QUERIES = [
     "hash_agg_a1", "join_agg_f6", "window_rank_f2", "dedup_ngram_jaccard",
     "ann_cosine_topk", "dedup_exact", "token_count", "corpus_export",
+    "decontaminate_ngrams", "repetition_metrics", "sample_stratified",
+    "shard_pack",
 ]
 
 
