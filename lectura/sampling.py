@@ -13,12 +13,14 @@ Scale design (the 100 TB story):
   rate upward keeps every previously-sampled row (nested samples), the
   property curation loops rely on for incremental re-mixes.
 * ``pack_shards`` assigns docs to fixed-token-budget shards by EXACT
-  global running sum without ever collapsing to one partition: range-
+  global running sum while moving the data exactly once: range-
   partition by the order key, per-partition subtotals to the driver
-  (one row per partition — KB-scale), cumulative offsets broadcast
-  back, then a per-partition window finishes the prefix sum. The only
-  wide exchange is the range partition; a 10^10-doc corpus packs with
-  the same two jobs.
+  (one row per partition — KB-scale), then a NARROW in-partition pass
+  (local sort + Arrow iterator carrying the running offset) finishes
+  the prefix sum. The range exchange is the only wide operator, and
+  the output is physically contiguous by shard_id — already in
+  training-shard layout; a 10^10-doc corpus packs with the same two
+  jobs.
 
 Reference: /root/reference is empty (SURVEY.md §0); the operators follow
 standard web-corpus curation practice (hash-mod sampling, budgeted shard
@@ -27,8 +29,8 @@ packing) expressed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
-from pyspark.sql import functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F, types as T
 
 _RES = 1_000_000  # rate resolution: 1e-6
 
@@ -58,21 +60,27 @@ def stratified_sample(df: DataFrame, key: str | Column,
 def pack_shards(df: DataFrame, order_col: str, weight_col: str,
                 budget: int, n_parts: int | None = None) -> DataFrame:
     """Assign each row a ``shard_id`` so consecutive rows (by
-    ``order_col``, which must be unique) fill ~``budget`` units of
-    ``weight_col`` per shard: ``shard_id = floor(prefix_sum_exclusive /
-    budget)``.
+    ``order_col``, which must be unique; ``weight_col`` non-null) fill
+    ~``budget`` units of weight per shard: ``shard_id =
+    floor(prefix_sum_exclusive / budget)``.
 
-    Exact global prefix sum at scale: range-partition on the order key
-    (equal keys colocate; partition i holds keys below partition i+1),
-    collect one subtotal per partition, broadcast the running offsets
-    back, and window within partitions — never a global single-partition
-    window. The assignment is a pure function of the global order, so it
-    is invariant to ``n_parts`` and to how the ranges were cut."""
+    Exact global prefix sum with ONE movement of the data: range-
+    partition on the order key (partition i holds keys below partition
+    i+1), collect one subtotal per partition (KB-scale), then finish the
+    prefix sum in a NARROW pass — sort within partitions + an Arrow
+    iterator that carries the running offset across batches. No window
+    at all: a ``Window.partitionBy(_pid)`` here would re-shuffle the
+    full data on _pid (Catalyst cannot see that the range layout
+    already clusters it), and an empty partitionBy would collapse to a
+    single partition. The output is physically contiguous by shard_id
+    (monotone in the order key), so it is already in training-shard
+    layout. The assignment is a pure function of the global order —
+    invariant to ``n_parts`` and to how the ranges were cut."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # pin the partitioning: the offsets collected below must describe the
-    # SAME partitions the final plan windows over
+    # pin the partitioning: the offsets collected below must describe
+    # the SAME partitions the final narrow pass runs over
     d = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
@@ -81,23 +89,27 @@ def pack_shards(df: DataFrame, order_col: str, weight_col: str,
     subtotals = sorted(
         d.groupBy("_pid").agg(F.sum(weight_col).alias("t")).collect()
     )
-    offs, run = [], 0
+    offs, run = {}, 0
     for r in subtotals:  # one row per non-empty partition
-        offs.append((r._pid, run))
+        offs[int(r._pid)] = run
         run += r.t
-    off_df = spark.createDataFrame(offs, schema="_pid int, _off long")
-    w = (
-        Window.partitionBy("_pid").orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        d.join(F.broadcast(off_df), "_pid")
-        .withColumn(
-            "shard_id",
-            F.floor(
-                (F.sum(weight_col).over(w) + F.col("_off")
-                 - F.col(weight_col)) / budget
-            ),
-        )
-        .drop("_pid", "_off")
-    )
+
+    out_fields = [f for f in d.schema.fields if f.name != "_pid"]
+    schema = T.StructType(out_fields + [T.StructField("shard_id",
+                                                      T.LongType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def assign(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offs.get(int(pdf["_pid"].iloc[0]), 0)
+            w = pdf[weight_col]
+            excl = w.cumsum() - w + run
+            pdf = pdf.assign(shard_id=(excl // budget).astype("int64"))
+            run += w.sum()
+            yield pdf[out_cols]
+
+    return d.sortWithinPartitions(order_col).mapInPandas(assign, schema)

@@ -64,11 +64,33 @@ def test_pack_shards_exact_prefix_sum_and_partition_invariance(spark, docs):
         assert got == want, f"n_parts={n_parts}"
 
 
-def test_pack_shards_no_global_single_partition_window(spark, docs):
+def test_pack_shards_single_data_movement(spark, docs):
     plan = (
         pack_shards(docs, "doc_id", "w", budget=1000, n_parts=8)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # the only Exchange is the range partition (+ the tiny broadcast);
-    # an empty-partitionBy window would show SinglePartition here
+    # the range partition is the ONLY exchange: no empty-partitionBy
+    # window (SinglePartition) and no second hash exchange on _pid —
+    # the prefix sum finishes in a narrow in-partition Arrow pass
     assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 0  # input is a localCheckpoint RDD
+    assert "MapInPandas" in plan and "Window" not in plan
+
+
+def test_pack_shards_output_contiguous_by_shard(spark, docs):
+    """Each output partition holds a contiguous shard_id range — the
+    training-shard layout falls out of the pack itself (no extra
+    repartition needed before writing)."""
+    packed = pack_shards(docs, "doc_id", "w", budget=500, n_parts=8)
+
+    def per_part(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame({"lo": [pdf.shard_id.min()],
+                                    "hi": [pdf.shard_id.max()]})
+
+    spans = sorted((r.lo, r.hi) for r in
+                   packed.mapInPandas(per_part, "lo long, hi long").collect())
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # ranges ordered and non-interleaved
