@@ -275,9 +275,15 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     Scale shape: the benchmark side is small by definition (an eval
     suite is ≤10^6 distinct n-grams even for a big harness), so it is
     broadcast and the 100 TB corpus side streams through a map-side
-    hash join in its scan stage — the corpus is never shuffled; only
-    the hit rows (a tiny fraction) reach the per-doc aggregation."""
-    d_sh = word_ngrams(docs, text_col=text_col, n=n, id_col=id_col)
+    hash join in its scan stage — the corpus side deliberately keeps
+    n-gram multiplicity (word_ngrams' per-doc distinct would be a full
+    corpus shuffle BEFORE the join) because the countDistinct
+    aggregation dedupes the surviving hit rows anyway; only those (a
+    tiny fraction) ever reach an exchange."""
+    d_sh = (
+        _gram_stream(docs, n=n, id_col=id_col, text_col=text_col)
+        .withColumnRenamed("gram", "shingle")
+    )
     b_sh = (
         word_ngrams(bench, text_col=text_col, n=n, id_col=id_col)
         .withColumnRenamed("id", "bench_id")

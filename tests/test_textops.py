@@ -291,6 +291,11 @@ def test_contamination_plan_broadcasts_benchmark(spark, planted):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+    # exactly 3 shuffles: bench-side distinct (small) + the two-phase
+    # countDistinct over hit rows. A 4th would mean the corpus n-gram
+    # stream is being shuffled before the join again (the word_ngrams
+    # per-doc distinct regression).
+    assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
 def test_repetition_stats_matches_pure(spark, planted):
