@@ -7,8 +7,9 @@ Scale design (the 100 TB story):
 * ``stratified_sample`` is a pure scan-stage filter: keep a row iff
   ``pmod(xxhash64(key || salt), 1e6) < rate(stratum) * 1e6``. No
   shuffle, no RNG state, no sampling pass — the decision is a pure
-  function of the row, so it pushes into the parquet scan, re-runs
-  idempotently after failures, and composes with partition pruning.
+  function of the row, so it evaluates inside the scan's codegen stage
+  (rows drop before any exchange), re-runs idempotently after
+  failures, and composes with partition pruning.
   Changing the salt draws an independent sample; nudging a stratum's
   rate upward keeps every previously-sampled row (nested samples), the
   property curation loops rely on for incremental re-mixes.
