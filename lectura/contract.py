@@ -1948,6 +1948,61 @@ def sitemap_parse_s11(spark, sf_dir):
     return parse_sitemaps(docs)
 
 
+# S11b — sitemap DISCOVERY from robots.txt `Sitemap:` directives
+# (deterministic robots bodies from the supplier table; every 3rd host
+# adds a case/space-mangled second directive that must still match,
+# every 7th a commented directive that must NOT).
+@q(
+    "robots_sitemaps_s11b",
+    """
+    WITH x AS (
+      SELECT printf('s%d.example.com', s_suppkey) AS host,
+             printf('# robots for s%d', s_suppkey) || chr(10) ||
+             'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+             printf('Sitemap: https://s%d.example.com/sitemap.xml',
+                    s_suppkey)
+             || CASE WHEN s_suppkey % 3 = 0
+                  THEN chr(10) || printf(
+                       '  sItEmAp :https://s%d.example.com/news.xml',
+                       s_suppkey)
+                  ELSE '' END
+             || CASE WHEN s_suppkey % 7 = 0
+                  THEN chr(10) || '# Sitemap: https://ignored.example.com/x'
+                  ELSE '' END AS body
+      FROM supplier
+    )
+    SELECT host,
+           unnest(regexp_extract_all(
+               body, '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1))
+             AS sitemap_url
+    FROM x
+    """,
+)
+def robots_sitemaps_s11b(spark, sf_dir):
+    from lectura.sources import sitemaps_from_robots
+
+    sup = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    body = F.concat(
+        F.format_string("# robots for s%d\nUser-agent: *\n"
+                        "Disallow: /private\n"
+                        "Sitemap: https://s%d.example.com/sitemap.xml",
+                        F.col("k"), F.col("k")),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.format_string("\n  sItEmAp :https://s%d.example.com/news.xml",
+                            F.col("k")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("k") % 7 == 0,
+               F.lit("\n# Sitemap: https://ignored.example.com/x"))
+        .otherwise(F.lit("")),
+    )
+    robots = sup.select(
+        F.format_string("s%d.example.com", F.col("k")).alias("host"),
+        body.alias("body"),
+    )
+    return sitemaps_from_robots(robots)
+
+
 # ---------------------------------------------------------------------------
 # Recrawl scheduling: freshness-driven revisit priority from fetch history
 # (events as the deterministic history fixture; clicks mark content change).

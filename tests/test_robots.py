@@ -112,3 +112,32 @@ def test_spark_rule_table_matches_pure(spark, corpus, cfg):
             if r.pattern:
                 want.add((r.host, r.rule_type, r.pattern, r.priority, delay))
     assert got == want
+
+
+def test_sitemaps_from_robots_vectors(spark):
+    """Sitemap: directive extraction — case-insensitive key, optional
+    space before the colon, CRLF bodies, multiple directives per file;
+    commented lines and bare mentions mid-line never match."""
+    import pandas as pd
+
+    from lectura.sources import sitemaps_from_robots
+
+    bodies = {
+        "a.example": ("User-agent: *\nDisallow: /x\n"
+                      "Sitemap: https://a.example/s.xml\n"
+                      "SITEMAP:https://a.example/t.xml"),
+        "b.example": ("  sitemap : https://b.example/s.xml\r\n"
+                      "User-agent: bot\r\nAllow: /"),
+        "c.example": ("# Sitemap: https://c.example/commented.xml\n"
+                      "Disallow: see Sitemap: https://c.example/inline.xml"),
+        "d.example": "",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame([{"host": h, "body": b} for h, b in bodies.items()]))
+    got = sorted((r.host, r.sitemap_url)
+                 for r in sitemaps_from_robots(df).collect())
+    assert got == [
+        ("a.example", "https://a.example/s.xml"),
+        ("a.example", "https://a.example/t.xml"),
+        ("b.example", "https://b.example/s.xml"),
+    ]
