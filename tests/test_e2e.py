@@ -156,3 +156,31 @@ def test_sitemap_seed_ingestion_matches_oracle(spark, corpus, cfg, oracle,
     crawler.init_tables(pages, seeds, robots)
     crawler.run(ROUNDS)
     assert_equivalent(crawler, oracle)
+
+
+def test_maintain_between_sessions_preserves_crawl(
+        spark, corpus, cfg, oracle, tmp_path):
+    """2 rounds → warehouse maintenance (frontier prune, host_state
+    merge, binpack compaction, round-marker repoint) → resume round 3 in
+    a fresh Crawler: final state identical to the oracle's uninterrupted
+    3-round run, and the maintained tables actually shrank."""
+    from lectura.maintain import maintain
+
+    root = str(tmp_path / "whm")
+    wh = Warehouse(root, spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(2)
+
+    pre_log_files = len(wh._files("fetch_log"))
+    pre_frontier_rows = wh.approx_rows("frontier")
+    actions = maintain(wh, target_file_bytes=1 << 30)
+    assert "frontier" in actions and "_round_log" in actions
+    assert len(wh._files("fetch_log")) < pre_log_files
+    assert wh.approx_rows("frontier") < pre_frontier_rows  # spent rounds gone
+    assert len(wh._files("host_state")) == 1
+
+    crawler2 = Crawler(spark, wh, cfg)  # fresh-session equivalent
+    crawler2.run(ROUNDS)
+    assert_equivalent(crawler2, oracle)
