@@ -2046,6 +2046,47 @@ def recrawl_sched(spark, sf_dir):
     return recrawl_schedule(ev, 1753920000)
 
 
+# C4 — exponential-backoff retry queue from the fetch log (events as the
+# deterministic attempt history: day index = round, 'error' = miss).
+@q(
+    "retry_backoff_c4",
+    """
+    WITH h AS (
+      SELECT printf('https://u%d.example.com/', user_id) AS key,
+             datediff('day', DATE '2024-01-01', ts) + 1 AS rnd,
+             CASE WHEN event_type = 'error' THEN 'miss' ELSE 'ok' END
+               AS status
+      FROM events
+    ), lo AS (
+      SELECT key, max(CASE WHEN status = 'ok' THEN rnd END) AS last_ok
+      FROM h GROUP BY 1
+    ), g AS (
+      SELECT h.key, count(*) AS n_fails, max(h.rnd) AS last_round
+      FROM h JOIN lo USING (key)
+      WHERE h.status <> 'ok' AND h.rnd > coalesce(lo.last_ok, -1)
+      GROUP BY 1
+    )
+    SELECT key, n_fails, last_round,
+           last_round + least(1 << (n_fails - 1), 32)
+             AS next_attempt_round
+    FROM g WHERE n_fails <= 5
+    """,
+)
+def retry_backoff_c4(spark, sf_dir):
+    from lectura.frontier import retry_schedule
+
+    ev = t(spark, sf_dir, "events").select(
+        F.format_string("https://u%d.example.com/",
+                        F.col("user_id")).alias("url"),
+        (F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) + 1)
+        .alias("round"),
+        F.when(F.col("event_type") == "error", F.lit("miss"))
+        .otherwise(F.lit("ok")).alias("status"),
+    )
+    return retry_schedule(ev, base_rounds=1, max_backoff_rounds=32,
+                          max_retries=5)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering (the export pipeline's dedup stage as a checkable
 # query): simhash pairs at lossless banding radius → connected components

@@ -126,6 +126,46 @@ def schedule(cand_budgeted: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
+def retry_schedule(history: DataFrame, *, base_rounds: int = 1,
+                   max_backoff_rounds: int = 32, max_retries: int = 5,
+                   ok_status: str = "ok", key_col: str = "url",
+                   round_col: str = "round",
+                   status_col: str = "status") -> DataFrame:
+    """Exponential-backoff retry queue from the fetch log: per url whose
+    LAST attempt failed, count the consecutive failures since its last
+    success (k) and schedule the next attempt at
+    ``last_round + min(base·2^(k-1), max_backoff)``; urls past
+    ``max_retries`` are dropped (dead). Urls whose last attempt
+    succeeded produce no row — recrawl_schedule owns revisits.
+
+    Scale shape: ONE shuffle total — the per-url window computes
+    last-success round, and the groupBy that follows reuses the same
+    hash partitioning (Catalyst inserts no second exchange). Same-round
+    ok+miss ties resolve to the success (failures must be strictly
+    after it) — a deterministic rule the oracle mirrors."""
+    w = Window.partitionBy(key_col)
+    h = history.withColumn(
+        "_last_ok",
+        F.max(F.when(F.col(status_col) == ok_status,
+                     F.col(round_col))).over(w),
+    )
+    g = (
+        h.filter((F.col(status_col) != ok_status)
+                 & (F.col(round_col)
+                    > F.coalesce(F.col("_last_ok"), F.lit(-1))))
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n_fails"),
+             F.max(round_col).alias("last_round"))
+        .filter(F.col("n_fails") <= max_retries)
+    )
+    backoff = F.least(
+        F.lit(base_rounds) * F.expr("shiftleft(1, n_fails - 1)"),
+        F.lit(max_backoff_rounds),
+    )
+    return g.withColumn("next_attempt_round",
+                        F.col("last_round") + backoff)
+
+
 def recrawl_schedule(history: DataFrame, now_epoch_s: int,
                      key_col: str = "url", ts_col: str = "ts",
                      changed_col: str = "changed",

@@ -173,3 +173,52 @@ def test_parse_sitemaps_roundtrip_property(spark):
             assert g.priority == want_p
 
     check()
+
+
+def test_retry_schedule_vectors(spark):
+    """Backoff table: consecutive trailing failures k → next = last +
+    min(2^(k-1), cap); last-attempt-ok urls absent; same-round ok+miss
+    resolves to the success; k > max_retries dropped."""
+    import pandas as pd
+
+    from lectura.frontier import retry_schedule
+
+    rows = [
+        # u1: ok@1 then misses @2,3 -> k=2, next = 3 + 2
+        ("u1", 1, "ok"), ("u1", 2, "miss"), ("u1", 3, "miss"),
+        # u2: miss then ok last -> no retry row
+        ("u2", 1, "miss"), ("u2", 2, "ok"),
+        # u3: never ok, 7 misses -> past max_retries=5, dropped
+        *[("u3", r, "miss") for r in range(1, 8)],
+        # u4: ok and miss in the SAME round -> failure not after success
+        ("u4", 1, "miss"), ("u4", 2, "ok"), ("u4", 2, "miss"),
+        # u5: never ok, 6 misses with cap 8: min(2^5, 8) = 8
+        *[("u5", r, "miss") for r in range(1, 7)],
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "round", "status"]),
+        schema="url string, round int, status string",
+    )
+    got = {r.key: (r.n_fails, r.last_round, r.next_attempt_round)
+           for r in retry_schedule(df, max_retries=6,
+                                   max_backoff_rounds=8).collect()}
+    assert got == {"u1": (2, 3, 5), "u5": (6, 6, 14)}
+    # u3 has 7 trailing fails: included only when max_retries allows
+    got7 = {r.key for r in retry_schedule(df, max_retries=7).collect()}
+    assert got7 == {"u1", "u3", "u5"}
+
+
+def test_retry_schedule_single_shuffle_plan(spark):
+    import pandas as pd
+
+    from lectura.frontier import retry_schedule
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("u", 1, "miss")], columns=["url", "round", "status"]),
+        schema="url string, round int, status string",
+    )
+    plan = (retry_schedule(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    # the window's hash partitioning is reused by the groupBy — one
+    # exchange total
+    assert plan.count("Exchange hashpartitioning") == 1, plan
