@@ -2067,7 +2067,7 @@ def recrawl_sched(spark, sf_dir):
       GROUP BY 1
     )
     SELECT key, n_fails, last_round,
-           last_round + least(1 << (n_fails - 1), 32)
+           last_round + least(1 << least(n_fails - 1, 31), 32)
              AS next_attempt_round
     FROM g WHERE n_fails <= 5
     """,

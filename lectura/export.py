@@ -83,8 +83,10 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     `sample_rates` applies the deterministic per-`lang_guess` hash
     sample (lectura/sampling.py — scan-stage filter, nested/idempotent);
     `shard_tokens` assigns token-budget `shard_id`s via the exact global
-    prefix sum and the output keeps pack_shards' range layout (each
-    shard's rows are contiguous; no second text shuffle)."""
+    prefix sum computed on the slim (url, n_tokens) projection — the
+    text column stays out of pack_shards' pinned checkpoint — and the
+    write hash-clusters by shard_id (every shard wholly in one
+    partition; one text shuffle, same as the url layout)."""
     docs = wh.read("text").select(*EXPORT_COLS)
     gated = docs.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -133,6 +135,7 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     out = gated.join(keep, "url").select(
         *EXPORT_COLS, "n_exact_copies", "cluster_size"
     )
+    cleanup: list[DataFrame] = []
 
     n_contaminated = 0
     if bench is not None:
@@ -144,11 +147,15 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
             .select("url")
             .persist()
         )
-        n_contaminated = hits.count()  # also gates the broadcast below
+        # broadcast bound is tighter than _small()'s: that one gates a
+        # two-long-column table (~16 B/row); these are variable-width
+        # url strings (~100 B/row), so 1M rows ≈ 100 MB build side.
+        n_contaminated = hits.count()
         out = out.join(
-            F.broadcast(hits) if n_contaminated <= 5_000_000 else hits,
+            F.broadcast(hits) if n_contaminated <= 1_000_000 else hits,
             "url", "left_anti",
         )
+        cleanup.append(hits)
     if sample_rates is not None:
         from lectura.sampling import stratified_sample
 
@@ -158,15 +165,28 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     if shard_tokens:
         from lectura.sampling import pack_shards
 
-        packed = pack_shards(out, "url", "n_tokens", budget=shard_tokens,
-                             n_parts=n_parts)
-        # pack_shards leaves the range layout: shard_id is monotone in
-        # url, so each shard's rows are already contiguous — write as-is
-        # rather than paying a second shuffle of the text column.
-        snap = wh.overwrite(out_table, packed)
+        # Pack on the SLIM (url, n_tokens) projection: pack_shards
+        # localCheckpoints its input to pin the range partitioning, and
+        # checkpointing the full text column would hold a second,
+        # non-recomputable copy of the corpus in executor storage (an
+        # executor loss then kills the export instead of retrying).
+        # The assignment joins back by url and the write hash-clusters
+        # by shard_id — every shard's rows land in one partition, the
+        # same one-text-shuffle cost as the else-branch's url layout.
+        assignment = pack_shards(
+            out.select("url", "n_tokens"), "url", "n_tokens",
+            budget=shard_tokens, n_parts=n_parts,
+        ).select("url", "shard_id")
+        snap = wh.overwrite(
+            out_table,
+            out.join(assignment, "url")
+            .repartition(n_parts, "shard_id"),
+        )
     else:
         snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
     winners.unpersist()
+    for df_ in cleanup:
+        df_.unpersist()
     n_docs = wh.count_rows(wh._files(out_table))
     stats = {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
              "n_hot_buckets_dropped": n_hot}

@@ -158,9 +158,15 @@ def retry_schedule(history: DataFrame, *, base_rounds: int = 1,
              F.max(round_col).alias("last_round"))
         .filter(F.col("n_fails") <= max_retries)
     )
+    # 64-bit shift with the amount capped at 31: shiftleft(1, k) is
+    # 32-bit for an INT literal (wraps negative at k=31, masks at 32+),
+    # so a max_retries >= 32 would schedule retries in the past; capping
+    # the exponent keeps the product in long range for any sane base
+    # and the outer least() applies the real bound.
     backoff = F.least(
-        F.lit(base_rounds) * F.expr("shiftleft(1, n_fails - 1)"),
-        F.lit(max_backoff_rounds),
+        F.lit(base_rounds)
+        * F.expr("shiftleft(CAST(1 AS BIGINT), least(n_fails - 1, 31))"),
+        F.lit(max_backoff_rounds).cast("long"),
     )
     return g.withColumn("next_attempt_round",
                         F.col("last_round") + backoff)

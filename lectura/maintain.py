@@ -55,6 +55,15 @@ def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
     last = log.last_committed()
     actions: dict[str, str] = {}
 
+    # A crashed round may have left committed table snapshots with no
+    # round marker (the state resume normally discards). Roll back to
+    # the last committed marker FIRST — otherwise the rewrites below
+    # would bake the dangling writes into the compacted tables and the
+    # marker repoint would bless them as round-`last` state.
+    if last is not None:
+        log.restore(wh, last)
+        actions["_restore"] = f"rolled back to round-{last} snapshots"
+
     if prune_frontier and last is not None and wh.exists("frontier"):
         n_before = wh.approx_rows("frontier")
         live = wh.read("frontier").filter(F.col("for_round") > last)

@@ -76,7 +76,13 @@ def pack_shards(df: DataFrame, order_col: str, weight_col: str,
     single partition. The output is physically contiguous by shard_id
     (monotone in the order key), so it is already in training-shard
     layout. The assignment is a pure function of the global order —
-    invariant to ``n_parts`` and to how the ranges were cut."""
+    invariant to ``n_parts`` and to how the ranges were cut.
+
+    The localCheckpoint below holds a full copy of ``df`` in executor
+    storage (that is what pins the sampled range bounds across the two
+    jobs) — for wide payloads pass the slim (order, weight) projection
+    and join the returned shard_id back by the order key instead
+    (lectura/export.py does exactly this for the text column)."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -158,6 +158,32 @@ def test_sitemap_seed_ingestion_matches_oracle(spark, corpus, cfg, oracle,
     assert_equivalent(crawler, oracle)
 
 
+def test_maintain_after_crash_discards_dangling_writes(
+        spark, corpus, cfg, oracle, tmp_path):
+    """Maintenance on a warehouse whose last round CRASHED mid-write
+    must roll back to the committed marker before rewriting — otherwise
+    the compaction would bake the dangling rows into the 'committed'
+    snapshots and the marker repoint would bless them (review finding)."""
+    from lectura.maintain import maintain
+
+    root = str(tmp_path / "whmc")
+    wh = Warehouse(root, spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(2)
+    wh.append("seen", spark.createDataFrame(
+        [("http://garbage.example/x", 99)], "url string, round int"))
+
+    maintain(wh, target_file_bytes=1 << 30)
+    seen = {r.url for r in wh.read("seen").collect()}
+    assert "http://garbage.example/x" not in seen  # restore ran first
+
+    crawler2 = Crawler(spark, wh, cfg)
+    crawler2.run(ROUNDS)
+    assert_equivalent(crawler2, oracle)
+
+
 def test_maintain_between_sessions_preserves_crawl(
         spark, corpus, cfg, oracle, tmp_path):
     """2 rounds → warehouse maintenance (frontier prune, host_state

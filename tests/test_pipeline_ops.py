@@ -208,6 +208,22 @@ def test_retry_schedule_vectors(spark):
     assert got7 == {"u1", "u3", "u5"}
 
 
+def test_retry_schedule_no_shift_overflow(spark):
+    """k >= 32 trailing failures must hit the cap, not a wrapped 32-bit
+    shift (shiftleft(1, 31) is negative as INT; 1<<33 masks to 2)."""
+    import pandas as pd
+
+    from lectura.frontier import retry_schedule
+
+    rows = [("u", r, "miss") for r in range(1, 35)]  # 34 straight misses
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "round", "status"]),
+        schema="url string, round int, status string",
+    )
+    r = retry_schedule(df, max_retries=40, max_backoff_rounds=32).head()
+    assert (r.n_fails, r.last_round, r.next_attempt_round) == (34, 34, 66)
+
+
 def test_retry_schedule_single_shuffle_plan(spark):
     import pandas as pd
 
