@@ -1824,6 +1824,72 @@ def decontaminate_ngrams(spark, sf_dir):
     return contamination_stats(corpus, bench, n=4)
 
 
+# Host-level boilerplate line removal (CCNet-style): pages built from
+# the supplier table share a nav header + copyright footer per host
+# (boilerplate, df = 100%), keep a unique body line and a 'rare' line
+# at ~33% host-df (below the 0.5 threshold -> kept).
+@q(
+    "boilerplate_strip",
+    """
+    WITH x AS (
+      SELECT printf('https://h%d.example.com/p%d',
+                    s_suppkey % 20, s_suppkey) AS url,
+             printf('h%d.example.com', s_suppkey % 20) AS host,
+             'Home | About | Contact' || chr(10) ||
+             printf('article %d body words %d',
+                    s_suppkey, s_suppkey * 7) || chr(10) ||
+             printf('rare line %d', s_suppkey % 3) || chr(10) ||
+             printf('Copyright h%d', s_suppkey % 20) AS text
+      FROM supplier
+    ), l0 AS (
+      SELECT url, host, string_split(text, chr(10)) AS ls FROM x
+    ), lines AS (
+      SELECT url, host, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM l0
+    ), pc AS (
+      SELECT host, count(*) AS n_pages FROM x GROUP BY 1
+    ), bp AS (
+      SELECT d.host, d.line
+      FROM (SELECT DISTINCT host, url, line FROM lines) d
+      JOIN pc USING (host)
+      GROUP BY d.host, d.line, pc.n_pages
+      HAVING pc.n_pages >= 2 AND count(*) >= pc.n_pages * 0.5
+    ), kept AS (
+      SELECT l.* FROM lines l ANTI JOIN bp USING (host, line)
+    ), reb AS (
+      SELECT url, host,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1, 2
+    ), tot AS (
+      SELECT url, host, count(*) AS n_total FROM lines GROUP BY 1, 2
+    )
+    SELECT t.url, t.host, coalesce(r.text_clean, '') AS text_clean,
+           t.n_total - coalesce(r.n_kept, 0) AS n_lines_dropped
+    FROM tot t LEFT JOIN reb r USING (url, host)
+    """,
+)
+def boilerplate_strip(spark, sf_dir):
+    from lectura.textops import boilerplate_strip as strip
+
+    sup = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    pages = sup.select(
+        F.format_string("https://h%d.example.com/p%d",
+                        F.col("k") % 20, F.col("k")).alias("url"),
+        F.format_string("h%d.example.com", F.col("k") % 20).alias("host"),
+        F.concat_ws(
+            "\n",
+            F.lit("Home | About | Contact"),
+            F.format_string("article %d body words %d",
+                            F.col("k"), F.col("k") * 7),
+            F.format_string("rare line %d", F.col("k") % 3),
+            F.format_string("Copyright h%d", F.col("k") % 20),
+        ).alias("text"),
+    )
+    return strip(pages, min_df_frac=0.5, min_pages=2)
+
+
 # Gopher-style repetition signals (dup-word fraction array-side in the
 # scan stage; modal-2-gram share via explode + two-level hash agg).
 @q("repetition_metrics", _osql.repetition_sql(n=2))

@@ -298,6 +298,69 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     )
 
 
+def boilerplate_strip(df: DataFrame, host_col: str = "host",
+                      id_col: str = "url", text_col: str = "text",
+                      min_df_frac: float = 0.5,
+                      min_pages: int = 2) -> DataFrame:
+    """Host-level boilerplate removal (the CCNet/trafilatura-style line
+    dedup a web corpus runs before quality scoring): a LINE is
+    boilerplate for a host iff it appears in ≥ ``min_df_frac`` of that
+    host's pages (hosts with < ``min_pages`` pages are left untouched —
+    no denominator to trust). Returns (id, host, text_clean,
+    n_lines_dropped) with surviving lines in original order.
+
+    Scale shape: two keyed aggregations and one anti-join, all hash-
+    partitioned — per-(host, line) page counts (partial aggs collapse
+    the within-page repeats map-side), host page counts joined on the
+    (small) distinct-host side, then the exploded line stream anti-joins
+    the boilerplate set on (host, line) and the page is rebuilt with a
+    positional sort inside one hash agg. Text crosses exactly two
+    shuffles (explode→anti-join, rebuild) — no Python, no window."""
+    lines = df.select(
+        F.col(id_col).alias("id"), F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"),
+    )
+    page_counts = (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+    )
+    bp = (
+        lines.select("host", "id", "line").distinct()
+        .groupBy("host", "line")
+        .agg(F.count("*").alias("df_pages"))
+        .join(page_counts, "host")
+        .filter((F.col("n_pages") >= min_pages)
+                & (F.col("df_pages") >= F.col("n_pages") * min_df_frac))
+        .select("host", "line")
+    )
+    kept = lines.join(bp, ["host", "line"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id", "host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    totals = lines.groupBy("id", "host").agg(
+        F.count("*").alias("_n_total"))
+    return (
+        totals.join(rebuilt, ["id", "host"], "left")
+        .select(
+            F.col("id").alias(id_col), "host",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, n: int = 2, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per doc: (doc_id, n_words,

@@ -94,3 +94,25 @@ def test_pack_shards_output_contiguous_by_shard(spark, docs):
                    packed.mapInPandas(per_part, "lo long, hi long").collect())
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # ranges ordered and non-interleaved
+
+
+def test_stratified_sample_nesting_property(spark, docs):
+    """Hypothesis-style sweep of the nesting invariant: for ANY rate
+    pair r1 <= r2 and any salt, sample(r1) ⊆ sample(r2) — the property
+    incremental corpus re-mixes rely on."""
+    import itertools
+
+    rates = [0.0, 0.05, 0.17, 0.33, 0.5, 0.81, 1.0]
+    salts = ["", "a", "mix-7"]
+    sets = {
+        (r, s): {row.doc_id for row in
+                 stratified_sample(docs, "doc_id", {"en": r, "de": r},
+                                   "lang", default_rate=r, salt=s)
+                 .collect()}
+        for r in rates for s in salts
+    }
+    for s in salts:
+        for r1, r2 in itertools.combinations(rates, 2):  # r1 < r2
+            assert sets[(r1, s)] <= sets[(r2, s)], (r1, r2, s)
+        assert sets[(0.0, s)] == set()
+        assert len(sets[(1.0, s)]) == 400

@@ -313,3 +313,49 @@ def test_repetition_stats_matches_pure(spark, planted):
         assert abs(r.dup_word_frac - (1 - len(set(w)) / len(w))) < 1e-12
         assert abs(r.top_ngram_frac - max(grams.values()) / tot) < 1e-12
         assert abs(r.dup_ngram_frac - (1 - len(grams) / tot)) < 1e-12
+
+
+def test_boilerplate_strip_matches_pure(spark):
+    """Pure-Python reference over a planted host corpus: header/footer
+    (100% host-df) stripped, 1/3-df line kept, small hosts untouched,
+    all-boilerplate page degrades to empty text not a dropped row."""
+    import pandas as pd
+
+    from lectura.textops import boilerplate_strip
+
+    rows = []
+    for h in range(3):
+        for p in range(6):
+            lines = [f"nav h{h}", f"body {h}-{p}", f"foot h{h}"]
+            if p % 3 == 0:
+                lines.insert(2, "rare")
+            rows.append((f"u{h}-{p}", f"h{h}", "\n".join(lines)))
+    rows.append(("solo", "tiny", "nav tiny\nbody solo"))   # 1-page host
+    rows.append(("allbp0", "bp", "same\nsame"))            # all-boilerplate
+    rows.append(("allbp1", "bp", "same"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "host", "text"]))
+
+    # pure reference
+    by_host = {}
+    for u, h, t in rows:
+        by_host.setdefault(h, []).append((u, t))
+    want = {}
+    for h, pages in by_host.items():
+        df_count = {}
+        for _, t in pages:
+            for ln in set(t.split("\n")):
+                df_count[ln] = df_count.get(ln, 0) + 1
+        bp = {ln for ln, c in df_count.items()
+              if len(pages) >= 2 and c >= 0.5 * len(pages)}
+        for u, t in pages:
+            kept = [ln for ln in t.split("\n") if ln not in bp]
+            want[u] = ("\n".join(kept),
+                       len(t.split("\n")) - len(kept))
+
+    got = {r.url: (r.text_clean, r.n_lines_dropped)
+           for r in boilerplate_strip(df).collect()}
+    assert got == want
+    assert got["solo"] == ("nav tiny\nbody solo", 0)   # untouched
+    assert got["allbp0"] == ("", 2) and got["allbp1"] == ("", 1)
+    assert got["u0-0"][0] == "body 0-0\nrare"          # order preserved
