@@ -51,7 +51,17 @@ class RoundLog:
             return json.load(f).get("stats", {})
 
     def restore(self, wh: Warehouse, rnd: int) -> None:
-        """Roll every table back to the state committed at round `rnd`."""
+        """Roll every table back to the state committed at round `rnd`.
+
+        A marker snapshot of None means the table did NOT exist at the
+        committed round (e.g. text/scheduled/fetch_log after a crash
+        during round 1 of a fresh warehouse): if such a table exists
+        now, every row in it is a dangling write from the crashed
+        round — drop it, or the re-run of that round would duplicate
+        its rows (and maintenance would bake them into a compaction)."""
         for name, snap in self.snapshots(rnd).items():
-            if snap is not None and wh.exists(name):
-                wh.rollback(name, snap)
+            if snap is not None:
+                if wh.exists(name):
+                    wh.rollback(name, snap)
+            elif wh.exists(name):
+                wh.drop(name)

@@ -130,7 +130,8 @@ def scan_json_s10(spark, sf_dir):
     "bucketed_join_s12",
     """
     SELECT c_mktsegment, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -732,10 +733,12 @@ def percentiles_a5(spark, sf_dir):
     "pivot_a8",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
-           sum(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS BIGINT) END) AS qty_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS qty_f,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS qty_o,
            count(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1378,6 +1381,7 @@ def multimodal_meta(spark, sf_dir):
            unnest([round(list_aggregate(
                        list_transform(embedding[f*8+1:f*8+8],
                                       x -> CAST(x AS DOUBLE)), 'sum') / 8, 4)
+                   + 0.0
                    for f in generate_series(0, 6, 2)]) AS frame_avg
     FROM embeddings
     """,
@@ -1389,7 +1393,11 @@ def frame_sample(spark, sf_dir):
             F.sequence(F.lit(0), F.lit(6), F.lit(2)),
             lambda f: F.struct(
                 f.alias("frame_no"),
-                F.round(
+                # + 0.0 folds IEEE -0.0 to +0.0 (x + (+0) = +0 when
+                # x = -0): a near-zero negative mean otherwise rounds
+                # to -0.0 on one engine and 0.0 on the other, and the
+                # driver's string hash treats them as different values
+                (F.round(
                     F.aggregate(
                         F.slice("embedding", f * 8 + 1, 8),
                         F.lit(0.0),
@@ -1397,7 +1405,7 @@ def frame_sample(spark, sf_dir):
                     )
                     / 8,
                     4,
-                ).alias("frame_avg"),
+                ) + F.lit(0.0)).alias("frame_avg"),
             ),
         )
     )
@@ -2079,8 +2087,8 @@ def robots_sitemaps_s11b(spark, sf_dir):
     WITH g AS (
       SELECT printf('https://u%d.example.com/', user_id) AS key,
              count(*) AS n_obs,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-               AS n_changes,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_changes,
              CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
              CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
       FROM events GROUP BY 1

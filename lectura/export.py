@@ -32,7 +32,7 @@ strings through the graph iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lectura.graphops import connected_components
@@ -95,13 +95,23 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     if langs is not None:
         gated = gated.filter(F.col("lang_guess").isin(list(langs)))
 
+    # Exact dedup as a partial-aggregating groupBy, NOT a window: a
+    # window over partitionBy(fingerprint) must sort every copy of the
+    # hottest duplicate (parked-domain boilerplate — exactly what a web
+    # corpus over-represents) inside one task, while min/min_by/count
+    # collapse duplicates map-side before the exchange.  Same shuffle
+    # key, same output, skew-proof.
     slim = gated.select("url", "fingerprint", "simhash")
-    exact_w = Window.partitionBy("fingerprint")
     winners = (
-        slim.withColumn("_rn", F.row_number().over(exact_w.orderBy("url")))
-        .withColumn("n_exact_copies", F.count("*").over(exact_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        slim.groupBy("fingerprint")
+        .agg(
+            F.min("url").alias("url"),
+            # exact copies share the text, hence the simhash — min() is
+            # just a deterministic pick and keeps the agg all-primitive
+            # (HashAggregate, not the min_by struct-buffer SortAggregate)
+            F.min("simhash").alias("simhash"),
+            F.count("*").alias("n_exact_copies"),
+        )
         .withColumn("_nid", F.xxhash64("url"))
         .persist()
     )
@@ -125,11 +135,16 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
         .withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
         .drop("node", "component")
     )
-    comp_w = Window.partitionBy("_comp")
+    # Cluster-winner pick: same groupBy-not-window shape as the exact
+    # dedup above — a giant near-dup cluster partial-aggregates instead
+    # of sorting whole inside one task.
     keep = (
-        labeled.withColumn("_rn", F.row_number().over(comp_w.orderBy("url")))
-        .withColumn("cluster_size", F.count("*").over(comp_w))
-        .filter(F.col("_rn") == 1)
+        labeled.groupBy("_comp")
+        .agg(
+            F.min("url").alias("url"),
+            F.min_by("n_exact_copies", "url").alias("n_exact_copies"),
+            F.count("*").alias("cluster_size"),
+        )
         .select("url", "n_exact_copies", "cluster_size")
     )
     out = gated.join(keep, "url").select(

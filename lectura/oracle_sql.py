@@ -320,12 +320,13 @@ def shard_pack_sql(budget: int) -> str:
     return f"""
 WITH packed AS (
   SELECT doc_id, n_chars,
-         (sum(n_chars) OVER (ORDER BY doc_id
+         CAST((sum(n_chars) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - n_chars) // {budget} AS shard_id
+          - n_chars) // {budget} AS BIGINT) AS shard_id
   FROM documents
 )
-SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS total_weight,
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_weight,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed GROUP BY 1
 """

@@ -137,9 +137,18 @@ def insert_pairs(table: np.ndarray, stash: list[int], buckets: np.ndarray,
 
 def insert_hashes(table: np.ndarray, stash: list[int],
                   hashes: np.ndarray) -> int:
-    """Set-insert key hashes (deduped + sorted for determinism).
-    Returns the number of distinct keys inserted."""
+    """Set-insert key hashes (deduped + sorted for determinism). Keys
+    whose (bucket-pair, fingerprint) identity is already stored are
+    skipped — without the probe, re-upserting a key from an earlier
+    batch would store a SECOND copy of its fingerprint, so one delete
+    would leave a residual hit and n_inserted/load would overcount.
+    (A skipped key that is really a distinct colliding key is exactly
+    the false positive probe already reports — no semantics change.)
+    Returns the number of newly stored keys."""
     h = np.unique(np.asarray(hashes, dtype=np.int64))
+    if not len(h):
+        return 0
+    h = h[~probe(h, table, np.asarray(stash, dtype=np.uint64))]
     if not len(h):
         return 0
     fp, i1, _ = derive(h, table.shape[0])

@@ -419,12 +419,13 @@ def corpus_export(docs: DataFrame, langs=("en",), min_words: int = 20,
     Scale shape: one narrow projection computes every metric JVM-side
     (split / higher-order fns — no Python), the filters run in the scan
     stage (predicate + column pruning reach the parquet reader), and the
-    ONLY shuffle is the hash-partition on text_sha for the dedup window.
+    ONLY shuffle is the hash-partition on text_sha for the dedup — a
+    partial-aggregating groupBy (min/min_by/count combine map-side), NOT
+    a window, so the hottest duplicate (error-page boilerplate repeated
+    millions of times in a web corpus) never sorts inside one task.
     At cluster scale the result is written partitioned by `source` as
     the training-shard table; filtered-out and duplicate rows never
     reach the exchange."""
-    from pyspark.sql import Window
-
     w = words(F.col("text"))
     d = (
         docs.select("doc_id", "lang", "source", "text", w.alias("words"))
@@ -447,11 +448,17 @@ def corpus_export(docs: DataFrame, langs=("en",), min_words: int = 20,
                 & (F.col("distinct_ratio") >= min_distinct_ratio))
         .withColumn("text_sha", F.sha2("text", 256))
     )
-    dedup = Window.partitionBy("text_sha")
     return (
-        d.withColumn("rn", F.row_number().over(dedup.orderBy("doc_id")))
-        .withColumn("n_copies", F.count("*").over(dedup))
-        .filter(F.col("rn") == 1)
+        d.groupBy("text_sha")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_words", "doc_id").alias("n_words"),
+            F.min_by("stopword_ratio", "doc_id").alias("stopword_ratio"),
+            F.min_by("distinct_ratio", "doc_id").alias("distinct_ratio"),
+            F.count("*").alias("n_copies"),
+        )
         .select("doc_id", "lang", "source", "n_words", "stopword_ratio",
                 "distinct_ratio", "text_sha", "n_copies")
     )

@@ -186,3 +186,24 @@ def test_spark_upsert_matches_build(spark):
     allu = batch(0, 4000)
     assert (cuckoo_probe(allu, shards, 8)
             .filter(~F.col("maybe_seen")).count() == 0)
+
+
+def test_reinsert_is_idempotent_across_batches():
+    """ADVICE r2: insert_hashes deduped only within a batch — a key
+    re-upserted from an earlier batch stored a duplicate fingerprint, so
+    one delete left a residual hit and n_inserted overcounted. Now the
+    insert probes first: re-insert is a no-op, one delete fully removes,
+    counts stay exact. (Keys are spread 64-bit hashes, as in real use —
+    derive() reads the fingerprint from the high 16 bits.)"""
+    h = (np.arange(1, 101, dtype=np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
+    table, stash = cuckoocore.build(h, cuckoocore.size_for(256))
+    n_again = cuckoocore.insert_hashes(table, stash, h)  # same keys again
+    assert n_again == 0  # nothing newly stored
+    stored_before = int((table != 0).sum()) + len(stash)
+    assert stored_before == 100  # one copy per key, not two
+
+    removed = cuckoocore.delete(table, stash, h[:10])
+    assert removed.all()
+    hit = cuckoocore.probe(h[:10], table, np.asarray(stash, dtype=np.uint64))
+    assert not hit.any()  # ONE delete fully removes a twice-upserted key

@@ -210,3 +210,39 @@ def test_maintain_between_sessions_preserves_crawl(
     crawler2 = Crawler(spark, wh, cfg)  # fresh-session equivalent
     crawler2.run(ROUNDS)
     assert_equivalent(crawler2, oracle)
+
+
+def test_maintain_after_round1_crash_drops_unborn_tables(
+        spark, corpus, cfg, oracle, tmp_path):
+    """ADVICE r2: a crash during round 1 of a FRESH warehouse leaves
+    dangling rows in tables that did not exist at the round-0 marker
+    (marker snapshot None, e.g. `text`). RoundLog.restore must DROP
+    those tables — skipping them would let maintenance binpack the
+    dangling rows and the marker repoint bless them, so the resumed
+    round 1 would duplicate every row."""
+    from lectura.maintain import maintain
+
+    root = str(tmp_path / "whr1c")
+    wh = Warehouse(root, spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)  # commits round-0 marker
+    # crash mid-round-1: `text` gets created + written, marker never lands
+    wh.append(
+        "text",
+        spark.createDataFrame(
+            [(1, "http://dangling.example/x", "JUNK")],
+            "round int, url string, text string",
+        ),
+    )
+    maintain(wh, target_file_bytes=1 << 30)
+    # the unborn-at-marker table is gone, not blessed
+    assert not wh.exists("text")
+
+    crawler2 = Crawler(spark, wh, cfg)
+    crawler2.run(ROUNDS, resume=True)
+    assert_equivalent(crawler2, oracle)
+    texts = wh.read("text").collect()
+    urls = [r.url for r in texts]
+    assert "http://dangling.example/x" not in urls
+    assert len(urls) == len(set(urls))  # no duplicated round-1 rows

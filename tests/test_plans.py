@@ -271,3 +271,43 @@ def test_bucketed_join_has_no_shuffle_s12(spark, tmp_path):
         assert joined.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_corpus_export_dedup_partial_aggregates(spark):
+    """VERDICT r2 perf finding: exact dedup must be a partial+final
+    HashAggregate pair (map-side combine collapses the hottest duplicate
+    before the exchange), NOT a Window.partitionBy(text_sha) — a window
+    cannot partial-aggregate, so every copy of a mega-duplicate
+    (parked-domain boilerplate) would sort inside one task."""
+    from lectura.textops import corpus_export
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "lang": ["en"] * 3,
+                "source": ["web"] * 3,
+                "text": ["the and a of to in is it for on " * 4] * 3,
+            }
+        )
+    )
+    plan = plan_of(corpus_export(docs, min_words=5))
+    assert "Window" not in plan, plan
+    # partial + final aggregate around a single exchange (min_by's
+    # struct buffer makes Catalyst pick SortAggregate — the delegation
+    # pinned by test_sort_agg_delegation_a7 — but the PARTIAL pass is
+    # what kills the hot-duplicate skew, and it's present either way)
+    aggs = [b for b in re.split(r"\n\(\d+\) ", plan)
+            if b.startswith(("HashAggregate", "SortAggregate",
+                             "ObjectHashAggregate"))]
+    assert len(aggs) >= 2, plan
+    assert any("Functions" in a and "partial_" in a for a in aggs), plan
+    exchanges = [b for b in re.split(r"\n\(\d+\) ", plan)
+                 if b.startswith("Exchange")]
+    assert len(exchanges) == 1, plan
+    # the raw text never crosses the shuffle — only the sha + slim metrics
+    for cols in exchange_inputs(plan):
+        toks = [c.strip() for c in cols.split(",")]
+        assert not any(
+            t.startswith("text#") or t.startswith("words#") for t in toks
+        ), plan
