@@ -1071,25 +1071,51 @@ def ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, list(qvec), k=10)
 
 
-# LSH-bucketed ANN (scale path; rows-only — recall vs brute force in pytest)
-@q("ann_lsh_topk", None)
+# LSH-bucketed ANN, recall@k contract (VERDICT r2 #5: out of the
+# no_oracle bucket). The LSH result itself can't be SQL-expressed, but
+# recall vs the exact top-k CAN be asserted: the Spark side reranks its
+# candidate set and emits whether recall@10 clears the threshold; the
+# oracle is the expected threshold row. Deterministic end to end —
+# planes are seeded, buckets are per-row exprs, the rerank breaks
+# cosine ties on vec_id. Measured at sf0.01: recall 0.8 with 29 % of
+# the corpus as candidates (planes=8 × tables=64); threshold 0.6.
+@q("ann_lsh_topk", "SELECT 10 AS k, TRUE AS recall_ok")
 def ann_lsh_topk(spark, sf_dir):
-    from lectura.vectorops import lsh_topk
+    from lectura.vectorops import brute_force_topk, lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_topk(emb, list(qvec), k=10, n_planes=8)
+    qvec = list(emb.filter(F.col("vec_id") == 0)
+                .select("embedding").head()[0])
+    approx = lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=64)
+    exact = brute_force_topk(emb, qvec, k=10)
+    return (
+        approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.lit(10).alias("k"),
+                (F.col("n_hits") >= 6).alias("recall_ok"))
+    )
 
 
-# IVF ANN (data-adaptive scale path; rows-only — recall pytest vs brute
-# force, k-means centroids are float-order-sensitive so no SQL oracle)
-@q("ann_ivf_topk", None)
+# IVF ANN recall@k contract — same shape as ann_lsh_topk. The spherical
+# k-means quantizer is parallelism-invariant (hash-ordered init,
+# centroids rounded per iteration — vectorops.kmeans_centroids), so the
+# candidate set and recall are deterministic at a given sf. Measured at
+# sf0.01: recall 0.9 probing 8 of 16 cells; threshold 0.6.
+@q("ann_ivf_topk", "SELECT 10 AS k, TRUE AS recall_ok")
 def ann_ivf_topk(spark, sf_dir):
-    from lectura.vectorops import ivf_topk
+    from lectura.vectorops import brute_force_topk, ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb, list(qvec), k=10, n_centroids=8, n_probe=3)
+    qvec = list(emb.filter(F.col("vec_id") == 0)
+                .select("embedding").head()[0])
+    approx = ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=8)
+    exact = brute_force_topk(emb, qvec, k=10)
+    return (
+        approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.lit(10).alias("k"),
+                (F.col("n_hits") >= 6).alias("recall_ok"))
+    )
 
 
 # ---------------------------------------------------------------------------

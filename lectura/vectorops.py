@@ -160,6 +160,12 @@ def kmeans_centroids(df: DataFrame, n_centroids: int, n_iters: int = 3,
       hash agg of C×dim cells); only C×dim doubles ever reach the driver.
     - empty clusters keep their previous centroid; means are re-normalized
       (spherical k-means, matching the cosine assignment metric).
+    - centroid coordinates are rounded to 9 dp after each normalization:
+      the per-cell avg() sums partials in partition order, so an
+      unrounded centroid differs in ulps across parallelism levels and a
+      borderline vector could flip cells — rounding makes the quantizer
+      (and thus IVF recall) invariant to partitioning, which the recall
+      contract row depends on.
     """
     train = df.select(id_col, vec_col)
     if train_mod > 1:
@@ -186,7 +192,8 @@ def kmeans_centroids(df: DataFrame, n_centroids: int, n_iters: int = 3,
         for r in cells:
             means.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
         centroids = [
-            _unit(means[ci]) if ci in means else centroids[ci]
+            [round(x, 9) for x in _unit(means[ci])]
+            if ci in means else centroids[ci]
             for ci in range(len(centroids))
         ]
     return centroids
