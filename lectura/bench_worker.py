@@ -129,6 +129,17 @@ def main() -> None:
         "prewarm_sec": round(prewarm_s, 3),
         "crawl_sec": round(crawl_s, 3),
         "rounds": {f"round{s['round']}": s["seconds"] for s in stats},
+        "round_scheduled": {f"round{s['round']}": s["scheduled"]
+                            for s in stats},
+        # per-URL time normalizes the round walls by their work volume:
+        # round 1 schedules the full seed set (up to the round cap) while
+        # later rounds schedule only newly discovered links, so raw
+        # round1/round3 wall ratios compare different amounts of work
+        "round_ms_per_url": {
+            f"round{s['round']}": round(1000.0 * s["seconds"]
+                                        / max(1, s["scheduled"]), 3)
+            for s in stats
+        },
         "traces": [s.get("trace") for s in stats],
         "sinks": [s.get("sinks") for s in stats],
         "scheduled": scheduled,

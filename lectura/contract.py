@@ -1076,8 +1076,8 @@ def ann_cosine_topk(spark, sf_dir):
 # recall vs the exact top-k CAN be asserted: the Spark side reranks its
 # candidate set and emits whether recall@10 clears the threshold; the
 # oracle is the expected threshold row. Deterministic end to end —
-# planes are seeded, buckets are per-row exprs, the rerank breaks
-# cosine ties on vec_id. Measured at sf0.01: recall 0.8 with 29 % of
+# planes are seeded, bucketing is per-row numpy arithmetic, the rerank
+# breaks cosine ties on vec_id. Measured at sf0.01: recall 0.8 with 29 % of
 # the corpus as candidates (planes=8 × tables=64); threshold 0.6.
 @q("ann_lsh_topk", "SELECT 10 AS k, TRUE AS recall_ok")
 def ann_lsh_topk(spark, sf_dir):
@@ -1540,31 +1540,72 @@ def host_bucket_u5(spark, sf_dir):
     )
 
 
-# D6 — approx_count_distinct (HLL implementations differ per engine →
-# rows-only; exactness band asserted in tests)
-@q("approx_distinct_d6", None)
+# D6 — approx_count_distinct. HLL sketches differ per engine, so the
+# approximate VALUE can't be oracle-matched — but the exact count can,
+# and the approximation error bound is a checkable property (Spark's
+# default rsd is 0.05; the 15 % band leaves deterministic margin).
+# Same contract pattern as the ANN recall rows (VERDICT r2 #5).
+@q(
+    "approx_distinct_d6",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS err_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_d6(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey")
+                  - F.countDistinct("l_orderkey"))
+            <= 0.15 * F.countDistinct("l_orderkey")
+        ).alias("err_ok"),
     )
 
 
-# D1–D3 — partitioned bloom build stats (bits are engine-internal →
-# rows-only; FPP/no-false-negative invariants in tests/test_bloom.py)
-@q("bloom_seen_d1", None)
+# D1–D3 — partitioned bloom build + probe. The blob bytes are
+# engine-internal, but the filter's defining properties ARE checkable
+# against SQL: every inserted url must probe back positive (zero false
+# negatives — the oracle knows the insert count exactly), and a
+# disjoint novel set must stay under the FPP bound (configured 1e-3;
+# the bound row asserts ≤ 1.5e-3, the same 1.5× margin the driver
+# criterion allows). Deterministic: xxhash64 sharding + bit positions.
+@q(
+    "bloom_seen_d1",
+    """
+    SELECT count(*) AS n_probed,
+           CAST(0 AS BIGINT) AS n_false_negatives,
+           TRUE AS fpp_ok
+    FROM orders
+    """,
+)
 def bloom_seen_d1(spark, sf_dir):
-    from lectura.seen import bloom_build
+    from lectura.seen import bloom_build, bloom_probe
 
-    urls = t(spark, sf_dir, "orders").select(
-        F.concat(F.lit("http://host"), (F.col("o_custkey") % 37).cast("string"),
-                 F.lit(".example/o/"), F.col("o_orderkey").cast("string"))
-        .alias("url")
+    def order_urls(prefix):
+        return t(spark, sf_dir, "orders").select(
+            F.concat(F.lit("http://host"),
+                     (F.col("o_custkey") % 37).cast("string"),
+                     F.lit(f".example/{prefix}/"),
+                     F.col("o_orderkey").cast("string"))
+            .alias("url")
+        )
+
+    inserted = order_urls("o")
+    shards = bloom_build(inserted, 16, 100_000, 1e-3)
+    hits = bloom_probe(inserted, shards, 16).agg(
+        F.count("*").alias("n_probed"),
+        F.sum((~F.col("maybe_seen")).cast("long"))
+        .alias("n_false_negatives"),
     )
-    return bloom_build(urls, 16, 100_000, 1e-3).select(
-        "shard_id", "n_inserted", "m_bits", "k"
+    novel_fp = bloom_probe(order_urls("novel"), shards, 16).agg(
+        (F.sum(F.col("maybe_seen").cast("long"))
+         <= F.lit(1.5e-3) * F.count("*")).alias("fpp_ok")
     )
+    return hits.crossJoin(novel_fp)
 
 
 # D1c — the cuckoo seen-set backend (B:2 "Bloom/cuckoo"): build shards
@@ -1572,28 +1613,63 @@ def bloom_seen_d1(spark, sf_dir):
 # delete a slice (membership clears — the op bloom can't do). Blob bytes
 # are engine-internal → rows-only; FPP/determinism/stash invariants in
 # tests/test_cuckoo.py.
-@q("cuckoo_seen_d1c", None)
+@q(
+    "cuckoo_seen_d1c",
+    """
+    SELECT count(*) - 100 AS n_survivors,
+           CAST(0 AS BIGINT) AS n_false_negatives,
+           CAST(100 AS BIGINT) AS n_deleted,
+           TRUE AS deleted_cleared_ok,
+           TRUE AS fpp_ok
+    FROM orders
+    """,
+)
 def cuckoo_seen_d1c(spark, sf_dir):
+    """Cuckoo seen-set property contract (same pattern as bloom_seen_d1,
+    plus the delete cuckoo adds over bloom): after building over all
+    order urls and deleting 100, every survivor still probes positive
+    (no false negatives), ≥ 95 of the 100 deleted urls probe negative
+    (a deleted key may still collide with another stored fingerprint —
+    bounded, not zero), and a disjoint novel set stays under 1.5× the
+    ~2^-16-per-slot-pair fingerprint FPP (bound set at 1e-3)."""
     from lectura.seen import cuckoo_build, cuckoo_delete, cuckoo_probe
 
-    urls = t(spark, sf_dir, "orders").select(
-        F.concat(F.lit("http://host"), (F.col("o_custkey") % 37).cast("string"),
-                 F.lit(".example/o/"), F.col("o_orderkey").cast("string"))
-        .alias("url")
-    ).cache()
+    def order_urls(prefix):
+        return t(spark, sf_dir, "orders").select(
+            F.concat(F.lit("http://host"),
+                     (F.col("o_custkey") % 37).cast("string"),
+                     F.lit(f".example/{prefix}/"),
+                     F.col("o_orderkey").cast("string"))
+            .alias("url")
+        )
+
+    urls = order_urls("o").cache()
     shards = cuckoo_build(urls, 16, 100_000)
-    victims = urls.orderBy("url").limit(100)
+    victims = urls.orderBy("url").limit(100).cache()
     after_delete = cuckoo_delete(shards, victims, 16)
-    probed = cuckoo_probe(urls, after_delete, 16)
-    return probed.groupBy("shard_id").agg(
-        F.count("*").alias("n_urls"),
-        F.sum(F.col("maybe_seen").cast("int")).alias("n_hits"),
-    ).orderBy("shard_id")
+    survivors = urls.join(victims, "url", "left_anti")
+    surv = cuckoo_probe(survivors, after_delete, 16).agg(
+        F.count("*").alias("n_survivors"),
+        F.sum((~F.col("maybe_seen")).cast("long"))
+        .alias("n_false_negatives"),
+    )
+    dele = cuckoo_probe(victims, after_delete, 16).agg(
+        F.count("*").alias("n_deleted"),
+        (F.sum(F.col("maybe_seen").cast("long")) <= F.lit(5))
+        .alias("deleted_cleared_ok"),
+    )
+    novel = cuckoo_probe(order_urls("novel"), after_delete, 16).agg(
+        (F.sum(F.col("maybe_seen").cast("long"))
+         <= F.lit(1.5e-3) * F.count("*")).alias("fpp_ok")
+    )
+    return surv.crossJoin(dele).crossJoin(novel)
 
 
-# A6 — per-partition lineage (partition ids are runtime artifacts →
-# rows-only; determinism of the rollup checked in tests)
-@q("lineage_a6", None)
+# A6 — per-partition lineage. Partition ids and per-partition checksums
+# are runtime artifacts, but their GLOBAL rollup is exact and
+# oracle-checkable: total rows, task count, and the url_key range via
+# the pure-SQL xxhash64 chain (same seed-42 hash as U4).
+@q("lineage_a6", _osql.lineage_a6_sql())
 def lineage_a6(spark, sf_dir):
     from lectura.metrics import partition_lineage
 

@@ -258,6 +258,24 @@ FROM x7
 """
 
 
+def lineage_a6_sql() -> str:
+    """Global rollup of the per-partition lineage (A6): the partition
+    ids/checksums are runtime artifacts, but the rollup — row total,
+    partition count (repartition(8) always yields 8 tasks, empty ones
+    included: mapInPandas emits a row per task), and the global
+    url_key range (xxhash64 seed 42, same chain as U4) — is exact."""
+    urls = (
+        "SELECT 'http://host' || (c_custkey % 37)::VARCHAR"
+        " || '.example/c/' || c_custkey::VARCHAR AS url FROM customer"
+    )
+    return f"""
+WITH inputs AS ({urls}),{xxhash64_ctes("inputs", "url", out="h")}
+SELECT count(*) AS total_rows, CAST(8 AS BIGINT) AS n_parts,
+       min(h) AS global_min_key, max(h) AS global_max_key
+FROM x7
+"""
+
+
 def host_bucket_u5_sql(buckets: int = 32) -> str:
     hosts = (
         "SELECT 'host' || (c_custkey % 37)::VARCHAR || '.example' AS host"
