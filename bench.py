@@ -104,8 +104,24 @@ def _worker_env(scratch: str) -> dict:
     return env
 
 
+def _cpu_steal_snapshot() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the objective
+    hypervisor-interference indicator this VM's ±30 % wall swings come
+    from. Sampled around every measured leg so an interference-hit run
+    is identifiable from the artifact instead of asserted."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str,
               rounds: int = ROUNDS, keep_wh: bool = False) -> dict:
+    s0, t0 = _cpu_steal_snapshot()
     cmd = [
         sys.executable, "-m", "lectura.bench_worker",
         "--master", master, "--corpus", corpus_dir, "--warehouse", wh_dir,
@@ -122,7 +138,12 @@ def run_crawl(master: str, corpus_dir: str, wh_dir: str, scratch: str,
             # measurement starts (keeps tmpfs pressure flat across runs)
             if not keep_wh:
                 shutil.rmtree(wh_dir, ignore_errors=True)
-            return json.loads(line[len("BENCH_RESULT "):])
+            out = json.loads(line[len("BENCH_RESULT "):])
+            s1, t1 = _cpu_steal_snapshot()
+            out["steal_pct"] = (
+                round(100.0 * (s1 - s0) / (t1 - t0), 2) if t1 > t0 else None
+            )
+            return out
     sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
     raise RuntimeError(f"bench worker failed for {master}")
 
@@ -212,7 +233,10 @@ def main() -> None:
     # sections): the headline is best-of-2 with BOTH walls disclosed;
     # the gate pair brackets the single local[N] run with two local[4N]
     # runs and uses their MEAN, so a mid-sequence host slowdown moves
-    # numerator and denominator together instead of breaking the ratio.
+    # numerator and denominator together instead of breaking the ratio;
+    # r3 adds per-leg /proc/stat steal sampling and a pre-registered
+    # stationarity rule (see gate_triplet below) so an interference-hit
+    # bracket is re-measured once and the evidence is in the artifact.
     # The saturated pair runs the SAME 3-round job as the headline and
     # its big side is the mean of the two headline walls (no
     # pick-the-best on either side of an efficiency ratio).
@@ -228,15 +252,36 @@ def main() -> None:
     export = run_export(f"local[{CPUS}]",
                         os.path.join(scratch, "wh_bigb"), scratch)
     shutil.rmtree(os.path.join(scratch, "wh_bigb"), ignore_errors=True)
-    sc_big1 = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
-                        os.path.join(scratch, "wh_sc4na"), scratch,
-                        rounds=SCALE_ROUNDS)
-    sc_small = run_crawl(f"local[{SCALE_N}]", corpus_dir,
-                         os.path.join(scratch, "wh_scn"), scratch,
-                         rounds=SCALE_ROUNDS)
-    sc_big2 = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
-                        os.path.join(scratch, "wh_sc4nb"), scratch,
-                        rounds=SCALE_ROUNDS)
+    # Stationarity rule (pre-registered, symmetric): the two big runs of
+    # a bracket estimate the SAME quantity, so if they disagree by more
+    # than 25 % the measurement window was not stationary (hypervisor
+    # steal hit part of the triplet — the per-leg steal_pct shows which)
+    # and the whole triplet is re-measured ONCE. The triplet with the
+    # smaller internal big-run spread is used; BOTH attempts are
+    # disclosed machine-readably (gate_attempts). This re-runs the full
+    # bracket on an objective internal-consistency criterion — it never
+    # picks the faster of two valid results.
+    def gate_triplet(tag: str) -> dict:
+        b1 = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
+                       os.path.join(scratch, f"wh_sc4na{tag}"), scratch,
+                       rounds=SCALE_ROUNDS)
+        sm = run_crawl(f"local[{SCALE_N}]", corpus_dir,
+                       os.path.join(scratch, f"wh_scn{tag}"), scratch,
+                       rounds=SCALE_ROUNDS)
+        b2 = run_crawl(f"local[{SCALE_4N}]", corpus_dir,
+                       os.path.join(scratch, f"wh_sc4nb{tag}"), scratch,
+                       rounds=SCALE_ROUNDS)
+        spread = (max(b1["crawl_sec"], b2["crawl_sec"])
+                  / min(b1["crawl_sec"], b2["crawl_sec"]) - 1.0)
+        return {"big1": b1, "small": sm, "big2": b2,
+                "big_spread": round(spread, 3)}
+
+    gate_attempts = [gate_triplet("")]
+    if gate_attempts[0]["big_spread"] > 0.25:
+        gate_attempts.append(gate_triplet("_r"))
+    chosen = min(gate_attempts, key=lambda g: g["big_spread"])
+    sc_big1, sc_small, sc_big2 = (chosen["big1"], chosen["small"],
+                                  chosen["big2"])
     sat_small = run_crawl(f"local[{max(2, CPUS // 4)}]", corpus_dir,
                           os.path.join(scratch, "wh_satn"), scratch)
     shutil.rmtree(scratch, ignore_errors=True)
@@ -256,6 +301,8 @@ def main() -> None:
         "unit": "sec",
         "headline_runs_sec": [round(big_a["crawl_sec"], 3),
                               round(big_b["crawl_sec"], 3)],
+        "headline_steal_pct": [big_a.get("steal_pct"),
+                               big_b.get("steal_pct")],
         "queries": queries,
         "sf": SF,
         "n_urls_corpus": N_URLS,
@@ -271,6 +318,19 @@ def main() -> None:
             "t_small_sec": t_small,
             "t_big_sec": t_big,
             "t_big_runs_sec": [sc_big1["crawl_sec"], sc_big2["crawl_sec"]],
+            "steal_pct": {"big1": sc_big1.get("steal_pct"),
+                          "small": sc_small.get("steal_pct"),
+                          "big2": sc_big2.get("steal_pct")},
+            "gate_attempts": [
+                {"t_big_runs_sec": [g["big1"]["crawl_sec"],
+                                    g["big2"]["crawl_sec"]],
+                 "t_small_sec": g["small"]["crawl_sec"],
+                 "big_spread": g["big_spread"],
+                 "steal_pct": [g["big1"].get("steal_pct"),
+                               g["small"].get("steal_pct"),
+                               g["big2"].get("steal_pct")]}
+                for g in gate_attempts
+            ],
             "small_urls_per_sec": sc_small["urls_per_sec"],
             "big_urls_per_sec": round(
                 (sc_big1["urls_per_sec"] + sc_big2["urls_per_sec"]) / 2, 1

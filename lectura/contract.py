@@ -1077,8 +1077,9 @@ def ann_cosine_topk(spark, sf_dir):
 # candidate set and emits whether recall@10 clears the threshold; the
 # oracle is the expected threshold row. Deterministic end to end —
 # planes are seeded, bucketing is per-row numpy arithmetic, the rerank
-# breaks cosine ties on vec_id. Measured at sf0.01: recall 0.8 with 29 % of
-# the corpus as candidates (planes=8 × tables=64); threshold 0.6.
+# breaks cosine ties on vec_id. Measured recall: 0.8 at sf0.01 (29 % of
+# the corpus as candidates, planes=8 × tables=64), 0.9 at sf0.001 and
+# sf0.1 — threshold 0.6 holds at every provided sf.
 @q("ann_lsh_topk", "SELECT 10 AS k, TRUE AS recall_ok")
 def ann_lsh_topk(spark, sf_dir):
     from lectura.vectorops import brute_force_topk, lsh_topk
@@ -1099,8 +1100,9 @@ def ann_lsh_topk(spark, sf_dir):
 # IVF ANN recall@k contract — same shape as ann_lsh_topk. The spherical
 # k-means quantizer is parallelism-invariant (hash-ordered init,
 # centroids rounded per iteration — vectorops.kmeans_centroids), so the
-# candidate set and recall are deterministic at a given sf. Measured at
-# sf0.01: recall 0.9 probing 8 of 16 cells; threshold 0.6.
+# candidate set and recall are deterministic at a given sf. Measured
+# recall probing 8 of 16 cells: 0.9 at sf0.01/sf0.1, 0.8 at sf0.001 —
+# threshold 0.6 holds at every provided sf.
 @q("ann_ivf_topk", "SELECT 10 AS k, TRUE AS recall_ok")
 def ann_ivf_topk(spark, sf_dir):
     from lectura.vectorops import brute_force_topk, ivf_topk
@@ -1573,6 +1575,28 @@ def approx_distinct_d6(spark, sf_dir):
 # disjoint novel set must stay under the FPP bound (configured 1e-3;
 # the bound row asserts ≤ 1.5e-3, the same 1.5× margin the driver
 # criterion allows). Deterministic: xxhash64 sharding + bit positions.
+def _order_urls(spark, sf_dir, prefix):
+    """Deterministic url fixture over `orders` shared by the bloom and
+    cuckoo property contracts — the /o/ (inserted) vs /novel/ (disjoint
+    probe) path split is load-bearing for both oracles, so it lives in
+    ONE place."""
+    return t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("http://host"),
+                 (F.col("o_custkey") % 37).cast("string"),
+                 F.lit(f".example/{prefix}/"),
+                 F.col("o_orderkey").cast("string"))
+        .alias("url")
+    )
+
+
+def _seen_capacity(n: int, n_shards: int = 16) -> int:
+    """Per-shard capacity sized from the ACTUAL insert count (floor
+    100k, 1.3× headroom): the property thresholds (FPP ≤ 1.5× bound)
+    hold at ANY sf this way, instead of silently saturating when a
+    larger-than-sf0.01 run exceeds a hardcoded 16×100k capacity."""
+    return max(100_000, -(-13 * n // (10 * n_shards)))
+
+
 @q(
     "bloom_seen_d1",
     """
@@ -1585,23 +1609,16 @@ def approx_distinct_d6(spark, sf_dir):
 def bloom_seen_d1(spark, sf_dir):
     from lectura.seen import bloom_build, bloom_probe
 
-    def order_urls(prefix):
-        return t(spark, sf_dir, "orders").select(
-            F.concat(F.lit("http://host"),
-                     (F.col("o_custkey") % 37).cast("string"),
-                     F.lit(f".example/{prefix}/"),
-                     F.col("o_orderkey").cast("string"))
-            .alias("url")
-        )
-
-    inserted = order_urls("o")
-    shards = bloom_build(inserted, 16, 100_000, 1e-3)
+    inserted = _order_urls(spark, sf_dir, "o")
+    shards = bloom_build(inserted, 16,
+                         _seen_capacity(inserted.count()), 1e-3)
     hits = bloom_probe(inserted, shards, 16).agg(
         F.count("*").alias("n_probed"),
         F.sum((~F.col("maybe_seen")).cast("long"))
         .alias("n_false_negatives"),
     )
-    novel_fp = bloom_probe(order_urls("novel"), shards, 16).agg(
+    novel_fp = bloom_probe(_order_urls(spark, sf_dir, "novel"), shards,
+                           16).agg(
         (F.sum(F.col("maybe_seen").cast("long"))
          <= F.lit(1.5e-3) * F.count("*")).alias("fpp_ok")
     )
@@ -1631,20 +1648,13 @@ def cuckoo_seen_d1c(spark, sf_dir):
     (no false negatives), ≥ 95 of the 100 deleted urls probe negative
     (a deleted key may still collide with another stored fingerprint —
     bounded, not zero), and a disjoint novel set stays under 1.5× the
-    ~2^-16-per-slot-pair fingerprint FPP (bound set at 1e-3)."""
+    ~2^-16-per-slot-pair fingerprint FPP (bound set at 1e-3). Capacity
+    sizes from the actual count (_seen_capacity) so the bounds hold at
+    any sf."""
     from lectura.seen import cuckoo_build, cuckoo_delete, cuckoo_probe
 
-    def order_urls(prefix):
-        return t(spark, sf_dir, "orders").select(
-            F.concat(F.lit("http://host"),
-                     (F.col("o_custkey") % 37).cast("string"),
-                     F.lit(f".example/{prefix}/"),
-                     F.col("o_orderkey").cast("string"))
-            .alias("url")
-        )
-
-    urls = order_urls("o").cache()
-    shards = cuckoo_build(urls, 16, 100_000)
+    urls = _order_urls(spark, sf_dir, "o").cache()
+    shards = cuckoo_build(urls, 16, _seen_capacity(urls.count()))
     victims = urls.orderBy("url").limit(100).cache()
     after_delete = cuckoo_delete(shards, victims, 16)
     survivors = urls.join(victims, "url", "left_anti")
@@ -1658,7 +1668,8 @@ def cuckoo_seen_d1c(spark, sf_dir):
         (F.sum(F.col("maybe_seen").cast("long")) <= F.lit(5))
         .alias("deleted_cleared_ok"),
     )
-    novel = cuckoo_probe(order_urls("novel"), after_delete, 16).agg(
+    novel = cuckoo_probe(_order_urls(spark, sf_dir, "novel"),
+                         after_delete, 16).agg(
         (F.sum(F.col("maybe_seen").cast("long"))
          <= F.lit(1.5e-3) * F.count("*")).alias("fpp_ok")
     )

@@ -137,18 +137,25 @@ def insert_pairs(table: np.ndarray, stash: list[int], buckets: np.ndarray,
 
 def insert_hashes(table: np.ndarray, stash: list[int],
                   hashes: np.ndarray) -> int:
-    """Set-insert key hashes (deduped + sorted for determinism). Keys
-    whose (bucket-pair, fingerprint) identity is already stored are
-    skipped — without the probe, re-upserting a key from an earlier
-    batch would store a SECOND copy of its fingerprint, so one delete
-    would leave a residual hit and n_inserted/load would overcount.
-    (A skipped key that is really a distinct colliding key is exactly
-    the false positive probe already reports — no semantics change.)
-    Returns the number of newly stored keys."""
+    """Insert key hashes (deduped within the batch + sorted for
+    determinism). Returns the number of stored copies (== batch
+    distinct count).
+
+    STORE-ALWAYS semantics, per the public cuckoo-filter construction:
+    a key whose (bucket-pair, fingerprint) identity already probes
+    positive is STILL stored. Skipping it would be wrong — the existing
+    hit may belong to a DIFFERENT key sharing the identity
+    (≈ 2·SLOTS/2^16 per occupied pair), and deleting that twin later
+    would then remove the only copy, a FALSE NEGATIVE for this key.
+    With per-copy storage, identity collisions cost a harmless extra
+    slot and delete stays safe. The corollary (also public spec):
+    deletes must pair 1:1 with inserts — re-upserting the same key n
+    times requires n deletes to fully clear it, and one delete leaves a
+    residual (false-positive-only) copy. The crawl never re-upserts (a
+    round's new_seen is disjoint from the seen-set by construction);
+    forced-recrawl delete callers must not re-add a url before deleting
+    it, or must delete once per prior upsert."""
     h = np.unique(np.asarray(hashes, dtype=np.int64))
-    if not len(h):
-        return 0
-    h = h[~probe(h, table, np.asarray(stash, dtype=np.uint64))]
     if not len(h):
         return 0
     fp, i1, _ = derive(h, table.shape[0])

@@ -98,14 +98,25 @@ def lsh_buckets_multi(df: DataFrame, tables: list[list[list[float]]],
                         dtype=np.float64)              # (T*P, dim)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
+    dim = planes.shape[1]
+
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype=object)
-        m = np.asarray(vecs.tolist(), dtype=np.float64)   # (n, dim)
-        bits = (m @ planes.T) >= 0                        # (n, T*P)
-        out = (bits.reshape(len(m), n_tables, n_planes)
-               * weights).sum(axis=2)                     # (n, T)
+        # NULL / wrong-length embeddings go to bucket 0 in every table
+        # (the behavior of the former Catalyst expression, where a NULL
+        # dot failed every >= 0 branch) instead of crashing the batch —
+        # real corpora contain null embedding rows.
+        vals = vecs.tolist()
+        valid = np.array([v is not None and len(v) == dim for v in vals])
+        out = np.zeros((len(vals), n_tables), dtype=np.int64)
+        if valid.any():
+            m = np.asarray([vals[i] for i in np.flatnonzero(valid)],
+                           dtype=np.float64)               # (nv, dim)
+            bits = (m @ planes.T) >= 0                     # (nv, T*P)
+            out[valid] = (bits.reshape(len(m), n_tables, n_planes)
+                          * weights).sum(axis=2)           # (nv, T)
         return pd.Series(list(out))
 
     return (

@@ -8,7 +8,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from lectura.compare import norm_rows
+from lectura.compare import norm_rows, oracle_rows, spark_rows
 
 SF = "/root/testdata/sf0.001"
 TABLES = (
@@ -35,12 +35,12 @@ ROWS_ONLY = [(n, f) for n, f in ALL if n not in ORACLES and n != "crawl_flagship
 
 @pytest.mark.parametrize("name,fn", SQL_CHECKED, ids=[n for n, _ in SQL_CHECKED])
 def test_sql_checked(spark, duck, name, fn):
-    sdf = fn(spark, SF)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # strict driver-calibrated compare (pandas both sides, type-class-
+    # sensitive cells, Arrow type audit) — the SAME comparator as
+    # scripts/check_contract.py, via lectura/compare.py
+    scols, srows = spark_rows(fn(spark, SF))
+    dcols, drows, bad_types = oracle_rows(duck, ORACLES[name])
+    assert not bad_types, f"pandas-unsafe oracle columns: {bad_types}"
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert norm_rows(scols, srows) == norm_rows(dcols, drows)

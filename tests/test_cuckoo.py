@@ -188,22 +188,30 @@ def test_spark_upsert_matches_build(spark):
             .filter(~F.col("maybe_seen")).count() == 0)
 
 
-def test_reinsert_is_idempotent_across_batches():
-    """ADVICE r2: insert_hashes deduped only within a batch — a key
-    re-upserted from an earlier batch stored a duplicate fingerprint, so
-    one delete left a residual hit and n_inserted overcounted. Now the
-    insert probes first: re-insert is a no-op, one delete fully removes,
-    counts stay exact. (Keys are spread 64-bit hashes, as in real use —
+def test_store_always_reinsert_and_paired_delete():
+    """Public cuckoo-filter semantics (ADVICE r2 follow-up, revised by
+    review): insert STORES A COPY even for an identity that already
+    probes positive — a probe-and-skip insert would let a later delete
+    of a colliding twin remove this key's only copy (a false negative,
+    the one failure mode the filter must never have). The corollary is
+    that deletes pair 1:1 with inserts: after a re-upsert, the first
+    delete leaves a residual (false-positive-only) copy and the second
+    clears it. (Keys are spread 64-bit hashes, as in real use —
     derive() reads the fingerprint from the high 16 bits.)"""
     h = (np.arange(1, 101, dtype=np.uint64)
          * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
     table, stash = cuckoocore.build(h, cuckoocore.size_for(256))
     n_again = cuckoocore.insert_hashes(table, stash, h)  # same keys again
-    assert n_again == 0  # nothing newly stored
-    stored_before = int((table != 0).sum()) + len(stash)
-    assert stored_before == 100  # one copy per key, not two
+    assert n_again == 100  # a copy per attempt — store-always
+    assert int((table != 0).sum()) + len(stash) == 200
 
-    removed = cuckoocore.delete(table, stash, h[:10])
-    assert removed.all()
+    first = cuckoocore.delete(table, stash, h[:10])
+    assert first.all()
     hit = cuckoocore.probe(h[:10], table, np.asarray(stash, dtype=np.uint64))
-    assert not hit.any()  # ONE delete fully removes a twice-upserted key
+    assert hit.all()  # residual copy still answers (false-positive side)
+    second = cuckoocore.delete(table, stash, h[:10])
+    assert second.all()
+    # never a false negative for the still-inserted remainder
+    rest = cuckoocore.probe(h[10:], table,
+                            np.asarray(stash, dtype=np.uint64))
+    assert rest.all()

@@ -45,7 +45,7 @@ def con():
 
 @pytest.mark.parametrize("name,sql", _oracles(), ids=[n for n, _ in _oracles()])
 def test_oracle_result_types_pandas_safe(con, name, sql):
-    from scripts.check_contract import arrow_type_ok
+    from lectura.compare import arrow_type_ok
 
     schema = con.execute(sql).arrow().schema
     bad = [(f.name, str(f.type)) for f in schema if not arrow_type_ok(f.type)]
