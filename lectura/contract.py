@@ -1800,20 +1800,46 @@ def stream_dedupe_st7(spark, sf_dir):
 # ST6 — stateful per-host throttle (state across micro-batches is a
 # runtime artifact → rows-only; cross-batch behavior proven in
 # tests/test_streaming.py). Aggregated so the output is deterministic.
-@q("stream_host_throttle_st6", None)
+@q(
+    "stream_host_throttle_st6",
+    """
+    SELECT 'host' || CAST(user_id % 13 AS VARCHAR) AS host,
+           count(*) AS n, TRUE AS greedy_ok
+    FROM events GROUP BY 1
+    """,
+)
 def stream_host_throttle_st6(spark, sf_dir):
+    """Stateful streaming throttle with a checkable oracle (the last
+    stream op out of the no_oracle bucket): greedy admission is FULLY
+    characterized by a per-row invariant over per-host (ts, url) order —
+    the first event is admitted, and any event is admitted iff it falls
+    ≥ delay_s after the previous ADMITTED event. The query re-derives
+    that invariant over the streamed result with a window and emits
+    per-host row counts (oracle knows them exactly) plus the invariant
+    flag; a throttle that dropped, duplicated, or mis-admitted ANY row
+    goes red on n or greedy_ok."""
     from lectura import streaming
 
+    delay_s = 3600.0
     ev = _event_stream(spark, sf_dir).select(
         F.concat(F.lit("host"), (F.col("user_id") % 13).cast("string")).alias("host"),
         F.concat(F.lit("http://h/"), F.col("event_id").cast("string")).alias("url"),
         "ts",
     )
-    out = streaming.host_throttle(ev, delay_s=3600.0)
+    out = streaming.host_throttle(ev, delay_s=delay_s)
     res = streaming.collect_stream(out, spark, output_mode="append")
-    return res.groupBy("host").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+    w = Window.partitionBy("host").orderBy("ts", "url")
+    tsd = F.col("ts").cast("double")
+    prev_adm = F.last(
+        F.when(F.col("admitted"), tsd), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    row_ok = F.when(prev_adm.isNull(), F.col("admitted")).otherwise(
+        F.col("admitted") == (tsd >= prev_adm + F.lit(delay_s))
+    )
+    return (
+        res.withColumn("_ok", row_ok)
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.min("_ok").alias("greedy_ok"))
     )
 
 
