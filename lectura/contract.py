@@ -2037,6 +2037,67 @@ def boilerplate_strip(spark, sf_dir):
     return strip(pages, min_df_frac=0.5, min_pages=2)
 
 
+# Q3b — GLOBAL line-level dedup (CCNet corpus-granularity line dedup —
+# the complement of Q3's per-host rule: catches cross-host template
+# lines a host-scoped denominator misses). Same supplier line fixture;
+# here 'Home | About | Contact' (df = all docs) and 'rare line k%3'
+# (df ≈ n/3) are corpus-hot, per-article lines survive, and
+# 'Copyright h%d' flips with sf (df ≈ n/20 vs max_df) — the oracle
+# computes the same rule exactly, so the flip is covered, not dodged.
+@q(
+    "line_dedup_global",
+    """
+    WITH x AS (
+      SELECT printf('https://h%d.example.com/p%d',
+                    s_suppkey % 20, s_suppkey) AS url,
+             'Home | About | Contact' || chr(10) ||
+             printf('article %d body words %d',
+                    s_suppkey, s_suppkey * 7) || chr(10) ||
+             printf('rare line %d', s_suppkey % 3) || chr(10) ||
+             printf('Copyright h%d', s_suppkey % 20) AS text
+      FROM supplier
+    ), l0 AS (
+      SELECT url, string_split(text, chr(10)) AS ls FROM x
+    ), lines AS (
+      SELECT url, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM l0
+    ), hot AS (
+      SELECT line FROM (SELECT DISTINCT url, line FROM lines)
+      GROUP BY line HAVING count(*) > 3
+    ), kept AS (
+      SELECT l.* FROM lines l ANTI JOIN hot USING (line)
+    ), reb AS (
+      SELECT url, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    ), tot AS (
+      SELECT url, count(*) AS n_total FROM lines GROUP BY 1
+    )
+    SELECT t.url, coalesce(r.text_clean, '') AS text_clean,
+           t.n_total - coalesce(r.n_kept, 0) AS n_lines_dropped
+    FROM tot t LEFT JOIN reb r USING (url)
+    """,
+)
+def line_dedup_global(spark, sf_dir):
+    from lectura.textops import line_dedup_global as ldg
+
+    sup = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    pages = sup.select(
+        F.format_string("https://h%d.example.com/p%d",
+                        F.col("k") % 20, F.col("k")).alias("url"),
+        F.concat_ws(
+            "\n",
+            F.lit("Home | About | Contact"),
+            F.format_string("article %d body words %d",
+                            F.col("k"), F.col("k") * 7),
+            F.format_string("rare line %d", F.col("k") % 3),
+            F.format_string("Copyright h%d", F.col("k") % 20),
+        ).alias("text"),
+    )
+    return ldg(pages, max_df=3)
+
+
 # Gopher-style repetition signals (dup-word fraction array-side in the
 # scan stage; modal-2-gram share via explode + two-level hash agg).
 @q("repetition_metrics", _osql.repetition_sql(n=2))

@@ -361,6 +361,55 @@ def boilerplate_strip(df: DataFrame, host_col: str = "host",
     )
 
 
+def line_dedup_global(df: DataFrame, id_col: str = "url",
+                      text_col: str = "text", max_df: int = 3) -> DataFrame:
+    """Cross-corpus line-level dedup (the CCNet paragraph/line dedup run
+    BEFORE language ID — the global complement of boilerplate_strip's
+    per-host rule): a line is corpus boilerplate iff it occurs in more
+    than ``max_df`` distinct documents anywhere in the corpus
+    (cookie banners, share bars, parked-domain shells — the lines a
+    host-scoped rule misses when the template spans hosts). Returns
+    (id, text_clean, n_lines_dropped) with surviving lines in original
+    order.
+
+    Scale shape: the global (line → distinct-doc frequency) aggregation
+    is two partial-aggregating hash aggs (the per-doc distinct collapses
+    within-page repeats map-side; the hottest boilerplate line combines
+    before the exchange instead of flooding one reducer), the hot-line
+    set anti-joins the exploded line stream, and each page is rebuilt
+    with a positional array_sort inside one hash agg. No window, no
+    Python; text crosses exactly two shuffles."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.select("id", "line").distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("df_docs"))
+        .filter(F.col("df_docs") > max_df)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("_n_total"))
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
+        .alias("n_lines_dropped"),
+    )
+
+
 def repetition_stats(df: DataFrame, n: int = 2, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per doc: (doc_id, n_words,

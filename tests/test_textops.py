@@ -359,3 +359,44 @@ def test_boilerplate_strip_matches_pure(spark):
     assert got["solo"] == ("nav tiny\nbody solo", 0)   # untouched
     assert got["allbp0"] == ("", 2) and got["allbp1"] == ("", 1)
     assert got["u0-0"][0] == "body 0-0\nrare"          # order preserved
+
+
+def test_line_dedup_global_matches_pure(spark):
+    """Pure-Python reference for the corpus-global line dedup: a line in
+    > max_df distinct docs is dropped everywhere (even on hosts where it
+    is rare), within-doc repeats count once toward df, per-article lines
+    survive in original order, an all-boilerplate doc degrades to an
+    empty text_clean row."""
+    import pandas as pd
+
+    from lectura.textops import line_dedup_global
+
+    rows = []
+    for h in range(4):                         # template spans 4 hosts
+        for p in range(3):
+            lines = [f"cookie banner",          # df=12 → hot
+                     f"article {h}-{p}",        # df=1 → kept
+                     f"share share",            # df=12 → hot
+                     f"host line h{h}"]         # df=3 → kept (== max_df)
+            rows.append((f"u{h}-{p}", "\n".join(lines)))
+    rows.append(("dup-in-doc", "cookie banner\ncookie banner\nunique x"))
+    rows.append(("allbp", "cookie banner\nshare share"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+
+    # pure reference
+    dfreq = {}
+    for _, t in rows:
+        for ln in set(t.split("\n")):
+            dfreq[ln] = dfreq.get(ln, 0) + 1
+    hot = {ln for ln, c in dfreq.items() if c > 3}
+    want = {}
+    for u, t in rows:
+        kept = [ln for ln in t.split("\n") if ln not in hot]
+        want[u] = ("\n".join(kept), len(t.split("\n")) - len(kept))
+
+    got = {r.url: (r.text_clean, r.n_lines_dropped)
+           for r in line_dedup_global(df, max_df=3).collect()}
+    assert got == want
+    assert got["u0-0"] == ("article 0-0\nhost line h0", 2)
+    assert got["dup-in-doc"] == ("unique x", 2)   # both copies dropped
+    assert got["allbp"] == ("", 2)                # row survives, text empty
