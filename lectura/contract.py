@@ -1326,6 +1326,72 @@ def lang_affinity(spark, sf_dir):
     )
 
 
+# X3b — real language ID (stopword-profile argmax, textops.lang_id) over
+# a deterministic multilingual fixture built from supplier: one phrase
+# per language (mixed case + punctuation to exercise normalization), a
+# que/Que doc that ties es-vs-fr (resolved to the lexicographically
+# smaller code), and a marker-free doc that must come back 'und'.
+@q(
+    "lang_id_stopword",
+    """
+    WITH x AS (
+      SELECT s_suppkey AS doc_id,
+             list_value('The, OF and? it was!', 'der und die nicht ist',
+                        'el los que por con', 'le les des est dans',
+                        'que Que', '')[(s_suppkey % 6) + 1]
+             || printf(' zz%d filler%d', s_suppkey, s_suppkey * 3) AS text
+      FROM supplier
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM x
+    ), h AS (
+      SELECT doc_id, toks,
+        len(list_filter(toks, t -> list_contains(
+          ['der','die','und','das','nicht','ist','ich','ein','zu','mit'],
+          t))) AS h_de,
+        len(list_filter(toks, t -> list_contains(
+          ['the','and','of','to','in','is','that','it','for','was'],
+          t))) AS h_en,
+        len(list_filter(toks, t -> list_contains(
+          ['el','los','y','que','en','un','por','con','una','para'],
+          t))) AS h_es,
+        len(list_filter(toks, t -> list_contains(
+          ['le','les','des','et','est','pour','que','dans','une','la'],
+          t))) AS h_fr
+      FROM tok
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(h_de, h_en, h_es, h_fr) < 1 THEN 'und'
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+           WHEN h_es >= h_fr THEN 'es'
+           ELSE 'fr' END AS lang_pred,
+      CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS best_hits,
+      CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM h
+    """,
+)
+def lang_id_stopword(spark, sf_dir):
+    from lectura.textops import lang_id
+
+    phrases = ["The, OF and? it was!", "der und die nicht ist",
+               "el los que por con", "le les des est dans", "que Que", ""]
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("doc_id"))
+    docs = sup.select(
+        "doc_id",
+        F.concat(
+            F.element_at(F.array(*[F.lit(p) for p in phrases]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.format_string(" zz%d filler%d",
+                            F.col("doc_id"), F.col("doc_id") * 3),
+        ).alias("text"),
+    )
+    return lang_id(docs, id_col="doc_id")
+
+
 # Token counting (whitespace + BPE-ish regex tokenizer)
 @q(
     "token_count",

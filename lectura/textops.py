@@ -1,7 +1,8 @@
 """Text-analysis + deduplication operators for training-data pipelines
 over the `documents` table: exact dedupe, n-gram Jaccard near-dup,
-MinHash+LSH, SimHash, quality scoring, vocab-affinity language ID, token
-counting, rolling fingerprints.
+MinHash+LSH, SimHash, quality scoring, vocab-affinity + stopword-profile
+language ID, host-level and corpus-global line dedup, token counting,
+rolling fingerprints.
 
 Scale notes: everything except the fingerprint UDF is pure JVM
 (split/explode/hash-agg — partial aggregation + AQE handle the shuffles);
@@ -407,6 +408,60 @@ def line_dedup_global(df: DataFrame, id_col: str = "url",
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
         .alias("n_lines_dropped"),
+    )
+
+
+# Function-word profiles for the stopword-overlap language classifier.
+# Tiny by design: langid over web text needs only the closed-class words
+# (CLD/langid.py-style evidence), and a literal IN-set keeps the whole
+# classifier in the scan stage. Sorted keys define the deterministic
+# argmax tiebreak (lexicographically smallest language code wins).
+LANG_PROFILES = {
+    "de": "der die und das nicht ist ich ein zu mit".split(),
+    "en": "the and of to in is that it for was".split(),
+    "es": "el los y que en un por con una para".split(),
+    "fr": "le les des et est pour que dans une la".split(),
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            min_hits: int = 1, profiles=None) -> DataFrame:
+    """Stopword-profile language ID: lowercase, split on non-letters,
+    count tokens hitting each language's function-word set, argmax with
+    lexicographically-smallest-code tiebreak; fewer than ``min_hits``
+    total evidence tokens → 'und'. Returns (id, lang_pred, best_hits,
+    n_tokens).
+
+    Scale shape: zero shuffle — tokenization, the per-language IN-set
+    counts (hash-set lookups inside one higher-order filter each) and
+    the struct-max argmax all run in the scan stage as JVM expressions;
+    no UDF, no explode, the text column never leaves its input
+    partition."""
+    profiles = profiles or LANG_PROFILES
+    codes = sorted(profiles)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    hits = [
+        F.size(F.filter(toks, lambda x: x.isin(profiles[c]))).alias(f"h_{c}")
+        for c in codes
+    ]
+    scored = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_tokens"), *hits)
+    # argmax via struct max: (hits, -index) so equal-hit ties resolve to
+    # the smallest index = lexicographically smallest language code.
+    best = F.greatest(*[F.col(f"h_{c}") for c in codes])
+    arg = F.array_max(F.array(*[
+        F.struct(F.col(f"h_{c}").alias("h"), F.lit(-i).alias("ni"))
+        for i, c in enumerate(codes)
+    ]))
+    pred = F.when(best < min_hits, F.lit("und")).otherwise(
+        F.element_at(F.array(*[F.lit(c) for c in codes]), -arg["ni"] + 1))
+    return scored.select(
+        F.col("id").alias(id_col),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("best_hits"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )
 
 

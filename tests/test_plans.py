@@ -311,3 +311,30 @@ def test_corpus_export_dedup_partial_aggregates(spark):
         assert not any(
             t.startswith("text#") or t.startswith("words#") for t in toks
         ), plan
+
+
+def test_lang_id_zero_shuffle(spark):
+    """The stopword langid must be a pure scan-stage classifier: no
+    Exchange anywhere (tokenize, IN-set counts, struct-max argmax all
+    narrow JVM expressions), no Python evaluation node."""
+    from lectura.textops import lang_id
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["the and of", "der und"]}))
+    plan = plan_of(lang_id(df))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_line_dedup_global_partial_aggs_no_window(spark):
+    """Global line dedup must build its hot-line set through
+    partial-aggregating hash aggs (the hottest boilerplate line combines
+    map-side, never flooding one reducer) and must not plan a Window —
+    the document rebuild is a keyed agg, not a full-copy window sort."""
+    from lectura.textops import line_dedup_global
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b"], "text": ["x\ny", "x\nz"]}))
+    plan = plan_of(line_dedup_global(df))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final pairs

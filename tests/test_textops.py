@@ -400,3 +400,47 @@ def test_line_dedup_global_matches_pure(spark):
     assert got["u0-0"] == ("article 0-0\nhost line h0", 2)
     assert got["dup-in-doc"] == ("unique x", 2)   # both copies dropped
     assert got["allbp"] == ("", 2)                # row survives, text empty
+
+
+def test_lang_id_matches_pure(spark):
+    """Pure-Python reference for the stopword-profile language ID:
+    punctuation/case-folded tokenization, per-language IN-set counts,
+    argmax with smallest-code tiebreak, min_hits -> 'und'."""
+    import re
+
+    import pandas as pd
+
+    from lectura.textops import LANG_PROFILES, lang_id
+
+    rows = [
+        ("en1", "The, OF and? it was! zz filler"),
+        ("de1", "der und die nicht ist zz"),
+        ("es1", "el los que por con"),
+        ("fr1", "le les des est dans"),
+        ("tie", "que Que xx"),            # es=2 fr=2 -> es (lexicographic)
+        ("und", "zz filler 123 !!!"),     # zero evidence -> und
+        ("mix", "the der the zz"),        # en=2 de=1 -> en
+        ("one", "la only marker here"),   # fr=1, min_hits=1 -> fr
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    codes = sorted(LANG_PROFILES)
+    want = {}
+    for i, txt in rows:
+        toks = [t for t in re.split(r"[^a-z]+", txt.lower()) if t]
+        hits = {c: sum(t in LANG_PROFILES[c] for t in toks) for c in codes}
+        best = max(hits.values())
+        pred = "und" if best < 1 else min(c for c in codes
+                                          if hits[c] == best)
+        want[i] = (pred, best, len(toks))
+
+    got = {r.doc_id: (r.lang_pred, r.best_hits, r.n_tokens)
+           for r in lang_id(df).collect()}
+    assert got == want
+    assert got["tie"][0] == "es" and got["und"][0] == "und"
+    assert got["en1"][0] == "en" and got["fr1"][0] == "fr"
+
+    # min_hits raises the evidence bar: 1-hit docs degrade to 'und'
+    got2 = {r.doc_id: r.lang_pred
+            for r in lang_id(df, min_hits=2).collect()}
+    assert got2["one"] == "und" and got2["tie"] == "es"
