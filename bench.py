@@ -72,6 +72,7 @@ OPERATOR_QUERIES = [
     "ann_cosine_topk", "dedup_exact", "token_count", "corpus_export",
     "decontaminate_ngrams", "repetition_metrics", "sample_stratified",
     "shard_pack", "boilerplate_strip", "line_dedup_global",
+    "dedup_semantic_clusters",
     "retry_backoff_c4",
 ]
 

@@ -1052,6 +1052,96 @@ def dedup_cosine_pairs(spark, sf_dir):
     return cosine_pairs(t(spark, sf_dir, "embeddings"), 0.35, max_id=150)
 
 
+# SemDeDup-style embedding near-dup clustering (the LSH scale path for
+# what dedup_cosine_pairs does by bounded all-pairs): sign-band LSH
+# candidates → cosine ≥ 0.8 edges → connected components → keeper per
+# cluster. The synthetic embeddings have no genuine near-dups (max
+# cross-cosine ≈ 0.5), so the fixture plants them deterministically:
+# every even base vector gets a copy with 3 vec_id-dependent dimensions
+# zeroed (+10000), every 6th additionally a copy with dims 16–18 zeroed
+# (+20000) — pure indexed element edits, bit-exact on both engines, so
+# sign bits and cosines agree exactly. Expected output: 66 two-clusters
+# + 34 three-clusters, keeper = base id.
+@q(
+    "dedup_semantic_clusters",
+    """
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), fx AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000,
+             [CASE WHEN j - 1 >= (vec_id % 5) * 3
+                    AND j - 1 < (vec_id % 5) * 3 + 3
+                   THEN CAST(0 AS FLOAT) ELSE embedding[j] END
+              for j in generate_series(1, 64)]
+      FROM base WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id + 20000,
+             [CASE WHEN j BETWEEN 16 AND 18
+                   THEN CAST(0 AS FLOAT) ELSE embedding[j] END
+              for j in generate_series(1, 64)]
+      FROM base WHERE vec_id % 6 = 0
+    ), b AS (
+      SELECT vec_id, unnest(generate_series(0, 7)) AS band,
+             unnest([list_aggregate(
+                       [CASE WHEN embedding[bb*8 + j] >= 0
+                             THEN (1 << (j - 1)) ELSE 0 END
+                        for j in generate_series(1, 8)], 'sum')
+                     for bb in generate_series(0, 7)]) AS key
+      FROM fx
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+    ), edges0 AS (
+      SELECT v1, v2 FROM pairs
+      JOIN fx e1 ON e1.vec_id = v1 JOIN fx e2 ON e2.vec_id = v2
+      WHERE round(list_cosine_similarity(e1.embedding, e2.embedding), 4)
+            >= 0.8
+    ), und AS (SELECT v1 AS u, v2 AS v FROM edges0
+               UNION SELECT v2, v1 FROM edges0),
+    reach(a, bn) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.a, u2.v FROM reach r JOIN und u2 ON r.bn = u2.u
+    ), comp AS (
+      SELECT a AS node, least(a, min(bn)) AS component FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT node AS vec_id, component AS keeper_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           node <> component AS is_dup
+    FROM comp JOIN sizes USING (component)
+    """,
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from lectura.vectorops import semantic_dedup
+
+    base = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200) \
+        .select("vec_id", "embedding")
+    lo = (F.col("vec_id") % 5) * 3
+    dup1 = base.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((i >= lo) & (i < lo + 3),
+                                F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    dup2 = base.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((i >= 15) & (i < 18),
+                                F.lit(0.0).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    fx = base.unionByName(dup1).unionByName(dup2)
+    return semantic_dedup(fx, min_cosine=0.8, n_bands=8, band_bits=8)
+
+
 # Brute-force cosine top-k (ANN exactness baseline)
 @q(
     "ann_cosine_topk",

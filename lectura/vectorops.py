@@ -263,6 +263,120 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def sign_bands(df: DataFrame, n_bands: int = 8, band_bits: int = 8,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Axis-aligned sign-bit LSH banding: band b's key packs the sign
+    bits of dimensions [b·band_bits, (b+1)·band_bits) — bit j set iff
+    the coordinate is ≥ 0. Two vectors land in the same (band, key)
+    bucket iff every coordinate of that dimension slice agrees in sign,
+    which for unit-ish embeddings is the random-hyperplane LSH collision
+    rule with the axis planes. Deterministic (data-dependent, zero RNG),
+    so the whole near-dup pipeline is oracle-checkable — unlike the
+    Gaussian-plane tables in `lsh_buckets_multi`.
+
+    Returns (id, band, key); scale shape: pure scan-stage JVM
+    expressions (slice + zip_with + aggregate) + one posexplode —
+    no shuffle, no Python."""
+    keys = []
+    for b in range(n_bands):
+        w = F.array(*[F.lit(1 << j).cast("long") for j in range(band_bits)])
+        keys.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), b * band_bits + 1, band_bits),
+                    w,
+                    lambda x, wj: F.when(x >= 0, wj)
+                                   .otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+
+
+def semantic_candidates(df: DataFrame, n_bands: int = 8, band_bits: int = 8,
+                        max_bucket: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Candidate near-dup pairs (v1 < v2, distinct) from the sign-band
+    buckets: the standard LSH banding equi-join — a pair is a candidate
+    iff it shares ANY band's bucket. `max_bucket` is the hot-bucket
+    guard (a bucket of k rows emits ~k²/2 pairs): buckets with more
+    members are dropped from candidate generation, bounding candidate
+    rows by ~max_bucket·n_bands·n regardless of skew; the exclusion
+    list is tiny by construction and broadcasts. None keeps exact
+    banding semantics for the contract oracle."""
+    b = sign_bands(df, n_bands, band_bits, id_col, vec_col)
+    if max_bucket is not None:
+        hot = (
+            b.groupBy("band", "key").count()
+            .filter(F.col("count") > max_bucket).select("band", "key")
+        )
+        b = b.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, (F.col("a.band") == F.col("c.band"))
+               & (F.col("a.key") == F.col("c.key"))
+               & (F.col("a.id") < F.col("c.id")))
+        .select(F.col("a.id").alias("v1"), F.col("c.id").alias("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+
+
+def semantic_dedup(df: DataFrame, min_cosine: float = 0.9,
+                   n_bands: int = 8, band_bits: int = 8,
+                   max_bucket: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style embedding-cosine near-duplicate clustering:
+    sign-band LSH candidates → exact cosine ≥ `min_cosine` edge filter
+    (rounded to 4dp so IEEE summation order can't flip a borderline
+    edge) → connected components → one keeper per cluster (the minimum
+    id). Returns one row per vector that belongs to a near-dup cluster:
+    (id, keeper_id, cluster_size, is_dup); vectors with no near-dup
+    never appear (callers keep them unconditionally).
+
+    Scale shape: candidates are an equi-join on (band, key) — never an
+    all-pairs product; embeddings join back by id only for candidate
+    rows, so the vectors cross exactly one shuffle each; clustering is
+    the O(log n)-round large-star/small-star CC on slim (v1, v2) longs.
+    At 100 TB set `max_bucket` (degenerate embeddings — all-zero or
+    truncated documents — pile into one bucket) and raise `n_bands` /
+    lower `band_bits` to trade candidate volume for recall."""
+    from lectura.graphops import connected_components
+
+    cand = semantic_candidates(df, n_bands, band_bits, max_bucket,
+                               id_col, vec_col)
+    emb = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+    edges = (
+        cand.join(emb.select(F.col("_id").alias("v1"),
+                             F.col("_e").alias("_e1")), "v1")
+        .join(emb.select(F.col("_id").alias("v2"),
+                         F.col("_e").alias("_e2")), "v2")
+        .withColumn("cosine",
+                    F.round(_dot("_e1", "_e2")
+                            / (_norm("_e1") * _norm("_e2")), 4))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("v1", "v2")
+    )
+    comp = connected_components(edges, src="v1", dst="v2")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("keeper_id"),
+            F.col("cluster_size"),
+            (F.col("node") != F.col("component")).alias("is_dup"),
+        )
+    )
+
+
 def cosine_pairs(df: DataFrame, min_cosine: float, max_id: int | None = None,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

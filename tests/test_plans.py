@@ -338,3 +338,21 @@ def test_line_dedup_global_partial_aggs_no_window(spark):
     plan = plan_of(line_dedup_global(df))
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final pairs
+
+
+def test_semantic_dedup_candidates_banded_equi_join(spark):
+    """Candidate generation must be the LSH banding equi-join — never an
+    all-pairs product — and the sign-band signature must be a pure
+    scan-stage expression (no Exchange, no Python)."""
+    from lectura.vectorops import semantic_candidates, sign_bands
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2],
+                      "embedding": [[1.0] * 16, [-1.0] * 16]}))
+    bplan = plan_of(sign_bands(df, n_bands=4, band_bits=4))
+    assert "Exchange" not in bplan, bplan
+    assert "Python" not in bplan and "BatchEval" not in bplan, bplan
+
+    cplan = plan_of(semantic_candidates(df, n_bands=4, band_bits=4))
+    assert "CartesianProduct" not in cplan, cplan
+    assert "BroadcastNestedLoop" not in cplan, cplan

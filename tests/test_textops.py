@@ -444,3 +444,103 @@ def test_lang_id_matches_pure(spark):
     got2 = {r.doc_id: r.lang_pred
             for r in lang_id(df, min_hits=2).collect()}
     assert got2["one"] == "und" and got2["tie"] == "es"
+
+
+def test_semantic_dedup_matches_pure(spark):
+    """Pure-Python reference for the SemDeDup pipeline: sign-band
+    buckets -> candidate pairs -> cosine >= tau edges -> union-find
+    clusters with min-id keeper. Cosines are well separated from the
+    0.8 threshold so float summation order cannot flip an edge."""
+    import numpy as np
+
+    from lectura.vectorops import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim, n_bands, band_bits = 16, 4, 4
+    base = rng.standard_normal((12, dim)).astype(np.float32)
+    vecs = {i: base[i] for i in range(12)}
+    a1 = base[0].copy(); a1[0:2] = 0.0            # ~0.99 cosine to v0
+    a2 = base[0].copy(); a2[2:4] = 0.0
+    b1 = base[1].copy(); b1[14:16] = 0.0
+    vecs[100], vecs[101], vecs[200] = a1, a2, b1
+
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.keeper_id, r.cluster_size, r.is_dup)
+           for r in semantic_dedup(df, min_cosine=0.8, n_bands=n_bands,
+                                   band_bits=band_bits).collect()}
+
+    # reference: same banding, cosine, transitive closure
+    def bands(v):
+        return [sum((1 << j) for j in range(band_bits)
+                    if v[b * band_bits + j] >= 0) for b in range(n_bands)]
+
+    ids = sorted(vecs)
+    cand = set()
+    for x in ids:
+        for y in ids:
+            if x < y and any(kx == ky for kx, ky in
+                             zip(bands(vecs[x]), bands(vecs[y]))):
+                cand.add((x, y))
+
+    def cos(u, v):
+        u64, v64 = u.astype(np.float64), v.astype(np.float64)
+        return round(float((u * v).astype(np.float64).sum())
+                     / (np.sqrt((u * u).astype(np.float64).sum())
+                        * np.sqrt((v * v).astype(np.float64).sum())), 4)
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(x, y) for x, y in cand if cos(vecs[x], vecs[y]) >= 0.8]
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        parent[max(rx, ry)] = min(rx, ry)
+    comps = {}
+    members = {i for e in edges for i in e}
+    for i in members:
+        comps.setdefault(min(j for j in members if find(j) == find(i)), set()).add(i)
+    want = {}
+    for keeper, mem in comps.items():
+        for i in mem:
+            want[i] = (keeper, len(mem), i != keeper)
+
+    assert got == want
+    assert want, "fixture must plant at least one cluster"
+    assert got[100] == (0, 3, True) and got[0] == (0, 3, False)
+    assert got[200][0] == 1 and got[200][1] == 2
+
+
+def test_semantic_dedup_hot_bucket_cap(spark):
+    """max_bucket drops saturated buckets from candidate generation: a
+    10-copy degenerate vector (every band bucket has 10 members) yields
+    no cluster under cap 5, while a 2-cluster in other buckets
+    survives; without the cap the 10-copy cluster appears in full."""
+    import numpy as np
+
+    from lectura.vectorops import semantic_dedup
+
+    dim = 16
+    hot = [1.0] * dim                                  # all-positive signs
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(dim).astype(np.float32)
+    v[0] = -abs(v[0])                                  # sign differs from hot
+    pair = [[float(x) for x in v], [float(x) for x in v]]
+    rows = [(100 + i, hot) for i in range(10)] + [
+        (0, pair[0]), (1, pair[1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = {r.vec_id: r.cluster_size
+              for r in semantic_dedup(df, min_cosine=0.8, n_bands=4,
+                                      band_bits=4, max_bucket=5).collect()}
+    assert capped == {0: 2, 1: 2}
+
+    full = {r.vec_id: r.cluster_size
+            for r in semantic_dedup(df, min_cosine=0.8, n_bands=4,
+                                    band_bits=4).collect()}
+    assert full[100] == 10 and full[0] == 2 and len(full) == 12
