@@ -439,8 +439,13 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     partition."""
     profiles = profiles or LANG_PROFILES
     codes = sorted(profiles)
+    # coalesce: NULL text must classify as 'und' with 0 tokens — under
+    # ANSI, size(split(NULL)) is NULL, the `best < min_hits` guard would
+    # be NULL too, and the argmax branch would then pick the first
+    # language code for a contentless row
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+        lambda x: x != "",
     )
     hits = [
         F.size(F.filter(toks, lambda x: x.isin(profiles[c]))).alias(f"h_{c}")

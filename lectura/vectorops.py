@@ -41,11 +41,15 @@ def _norm(a) -> F.Column:
 
 def cosine_to(df: DataFrame, query_vec: list[float],
               vec_col: str = "embedding") -> DataFrame:
+    # try_divide: a zero-norm row (all-zero embedding) gets NULL cosine
+    # instead of an ANSI DIVIDE_BY_ZERO that kills the job; NULLs sort
+    # after every real cosine in the desc top-k
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     return df.withColumn(
         "cosine",
-        _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qnorm)),
+        F.try_divide(_dot(F.col(vec_col), qlit),
+                     _norm(F.col(vec_col)) * F.lit(qnorm)),
     )
 
 
@@ -293,9 +297,16 @@ def sign_bands(df: DataFrame, n_bands: int = 8, band_bits: int = 8,
                 lambda acc, x: acc + x,
             )
         )
+    # NULL or too-short embeddings emit no band rows at all (posexplode
+    # of a NULL array drops the row): zip_with would otherwise NULL-pad
+    # missing dimensions into sign-bit 0, silently piling every
+    # truncated embedding into the trailing key-0 buckets
+    keys_arr = F.when(
+        F.size(F.col(vec_col)) >= n_bands * band_bits, F.array(*keys)
+    )
     return df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.array(*keys)).alias("band", "key"),
+        F.posexplode(keys_arr).alias("band", "key"),
     )
 
 
@@ -358,9 +369,13 @@ def semantic_dedup(df: DataFrame, min_cosine: float = 0.9,
         .join(emb.select(F.col("_id").alias("v2"),
                          F.col("_e").alias("_e2")), "v2")
         .withColumn("cosine",
-                    F.round(_dot("_e1", "_e2")
-                            / (_norm("_e1") * _norm("_e2")), 4))
-        .filter(F.col("cosine") >= min_cosine)
+                    F.round(F.try_divide(_dot("_e1", "_e2"),
+                                         _norm("_e1") * _norm("_e2")), 4))
+        # NULL (zero-norm) and NaN (NaN-coordinate) cosines must NOT
+        # become edges: Spark comparison semantics put NaN above every
+        # value, so a bare >= would make a NaN-poisoned vector a
+        # near-dup of everything it shares a bucket with
+        .filter((F.col("cosine") >= min_cosine) & ~F.isnan("cosine"))
         .select("v1", "v2")
     )
     comp = connected_components(edges, src="v1", dst="v2")
@@ -391,9 +406,12 @@ def cosine_pairs(df: DataFrame, min_cosine: float, max_id: int | None = None,
         .withColumn(
             "cosine",
             F.round(
-                _dot("e1", "e2") / (_norm("e1") * _norm("e2")), 4
+                F.try_divide(_dot("e1", "e2"), _norm("e1") * _norm("e2")), 4
             ),
         )
-        .filter(F.col("cosine") >= min_cosine)
+        # same NULL/NaN edge guard as semantic_dedup: zero-norm rows get
+        # NULL cosine from try_divide, NaN coordinates would otherwise
+        # pass >= (NaN sorts above every value in Spark comparisons)
+        .filter((F.col("cosine") >= min_cosine) & ~F.isnan("cosine"))
         .select("v1", "v2", "cosine")
     )

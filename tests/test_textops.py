@@ -544,3 +544,56 @@ def test_semantic_dedup_hot_bucket_cap(spark):
             for r in semantic_dedup(df, min_cosine=0.8, n_bands=4,
                                     band_bits=4).collect()}
     assert full[100] == 10 and full[0] == 2 and len(full) == 12
+
+
+def test_semantic_dedup_degenerate_embeddings(spark):
+    """ANSI-mode hazards (code-reviewed, reproduced, fixed): zero-norm
+    embeddings must not DIVIDE_BY_ZERO the job, NaN cosines must not
+    become edges (Spark sorts NaN above every value so a bare >= passes),
+    and NULL / too-short embeddings must emit no band rows at all."""
+    import math
+
+    import numpy as np
+
+    from lectura.vectorops import semantic_dedup, sign_bands
+
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.standard_normal(16).astype(np.float32)]
+    nanv = list(v)
+    nanv[0] = float("nan")
+    rows = [
+        (0, v), (1, list(v)),                    # genuine cluster of 2
+        (10, [0.0] * 16), (11, [0.0] * 16),      # zero-norm twins
+        (20, nanv),                              # NaN-poisoned copy of v
+        (30, None), (31, v[:4]),                 # NULL / truncated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id: (r.keeper_id, r.cluster_size)
+           for r in semantic_dedup(df, min_cosine=0.8, n_bands=4,
+                                   band_bits=4).collect()}
+    # only the genuine pair clusters; zero-norm pair shares every bucket
+    # but its cosine is NULL; the NaN vector buckets with v but its
+    # cosine is NaN; NULL/short rows never reach candidate generation
+    assert got == {0: (0, 2), 1: (0, 2)}
+
+    bands = sign_bands(df, n_bands=4, band_bits=4).collect()
+    ids_with_bands = {r.id for r in bands}
+    assert 30 not in ids_with_bands and 31 not in ids_with_bands
+    assert all(not math.isnan(r.key) and r.key is not None for r in bands)
+
+
+def test_lang_id_null_text_is_und(spark):
+    """NULL text must classify as ('und', 0, 0) — under ANSI the
+    unguarded size(split(NULL)) is NULL and the argmax would fall
+    through to the first language code."""
+    import pandas as pd
+
+    from lectura.textops import lang_id
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [None, "the and of"]}))
+    got = {r.doc_id: (r.lang_pred, r.best_hits, r.n_tokens)
+           for r in lang_id(df).collect()}
+    assert got[1] == ("und", 0, 0)
+    assert got[2] == ("en", 3, 3)
