@@ -71,7 +71,7 @@ OPERATOR_QUERIES = [
     "hash_agg_a1", "join_agg_f6", "window_rank_f2", "dedup_ngram_jaccard",
     "ann_cosine_topk", "dedup_exact", "token_count", "corpus_export",
     "decontaminate_ngrams", "repetition_metrics", "sample_stratified",
-    "shard_pack", "boilerplate_strip", "line_dedup_global",
+    "shard_pack", "dsir_weights", "boilerplate_strip", "line_dedup_global",
     "retry_backoff_c4",
 ]
 

@@ -2292,6 +2292,23 @@ def shard_pack(spark, sf_dir):
     )
 
 
+# SEL3 — DSIR importance weights (hashed-n-gram log-likelihood ratio):
+# target = every 7th doc (stand-in quality reference, same split the
+# decontamination fixture uses), corpus = the rest; both engines hash
+# bigrams with xxhash64(seed 42) into 256 buckets and apply identical
+# two-stage rounding, so the weights hash-match exactly.
+@q("dsir_weights", _osql.dsir_sql(n=2, n_buckets=256, bench_mod=7))
+def dsir_weights(spark, sf_dir):
+    from lectura.sampling import dsir_logratios
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_logratios(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=2, n_buckets=256,
+    )
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

@@ -384,6 +384,39 @@ GROUP BY d.doc_id
 """
 
 
+def dsir_sql(n: int = 2, n_buckets: int = 256, bench_mod: int = 7) -> str:
+    """DSIR importance-weight oracle (mirrors sampling.dsir_logratios):
+    target = doc_id % bench_mod == 0 (the quality reference), corpus =
+    the rest; word n-grams hashed into `n_buckets` via the pure-SQL
+    xxhash64 chain (DISTINCT grams hashed once, joined back to the
+    occurrence stream); per-bucket add-one-smoothed log-ratios rounded
+    to 9dp before the per-doc sum, final sum to 4dp (+0.0 folds
+    IEEE −0.0) — the same two-stage rounding the Spark side applies."""
+    return f"""
+WITH {_shingle_ctes(n, distinct=False)},
+dg AS (SELECT DISTINCT s FROM shr),
+{xxhash64_ctes('dg', 's', out='xx', p='x')},
+hb AS (SELECT s, {pmod('xx', n_buckets)} AS b FROM x7),
+occ AS (SELECT doc_id, b FROM shr JOIN hb USING (s)),
+occ_c AS (SELECT doc_id, b FROM occ WHERE doc_id % {bench_mod} <> 0),
+occ_t AS (SELECT b FROM occ WHERE doc_id % {bench_mod} = 0),
+raw AS (SELECT b, count(*) AS cr FROM occ_c GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM occ_t GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM occ_c) AS tr,
+               (SELECT count(*) FROM occ_t) AS tt),
+w AS (
+  SELECT r.b,
+         round(ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + {n_buckets}))
+               - ln((r.cr + 1.0) / (tot.tr + {n_buckets})), 9) AS lw
+  FROM raw r LEFT JOIN tgt t USING (b), tot
+)
+SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(sum(lw), 4) + 0.0 AS logratio
+FROM occ_c o JOIN w USING (b)
+GROUP BY o.doc_id
+"""
+
+
 def repetition_sql(n: int = 2) -> str:
     """Gopher-style repetition signals per doc (mirrors
     textops.repetition_stats): word-level duplicate fraction plus the

@@ -120,3 +120,60 @@ def pack_shards(df: DataFrame, order_col: str, weight_col: str,
             yield pdf[out_cols]
 
     return d.sortWithinPartitions(order_col).mapInPandas(assign, schema)
+
+
+def dsir_logratios(corpus: DataFrame, target: DataFrame, n: int = 2,
+                   n_buckets: int = 256, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every corpus doc by the log-likelihood ratio of its hashed word
+    n-gram stream under a smoothed target model vs the raw (corpus)
+    model — log w(doc) = Σ_grams ln p_target(bucket) − ln p_raw(bucket),
+    with add-one smoothing over `n_buckets` hash buckets. The actual
+    resampling draw (Gumbel noise) is the caller's RNG; this operator
+    is the deterministic scoring pass. Returns (id, n_grams, logratio)
+    for every corpus doc with ≥ 1 gram.
+
+    Determinism across engines/partitioning: per-bucket log-ratios are
+    rounded to 9dp before the per-doc sum (identical summands on every
+    engine), the final sum to 4dp (`+ 0.0` folds IEEE −0.0).
+
+    Scale shape: both models are `n_buckets`-cardinality hash aggs
+    (map-side combine collapses each task to ≤ n_buckets rows — the
+    gram streams never shuffle raw); the weight table (≤ n_buckets
+    rows) broadcasts into the corpus scan, so the only wide operator
+    over corpus-sized data is the final per-doc sum on `id` — slim
+    (id, double) rows. A 10^10-doc corpus scores with one shuffle."""
+    from lectura.textops import _gram_stream
+
+    occ_c = _gram_stream(corpus, n, id_col, text_col).select(
+        "id", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("b"))
+    occ_t = _gram_stream(target, n, id_col, text_col).select(
+        F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("b"))
+    raw = occ_c.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = occ_t.groupBy("b").agg(F.count("*").alias("ct"))
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt")))
+    w = (
+        raw.join(tgt, "b", "left").crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                      / (F.col("tt") + F.lit(float(n_buckets))))
+                - F.log((F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(n_buckets)))),
+                9,
+            ).alias("lw"),
+        )
+    )
+    return (
+        occ_c.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (F.round(F.sum("lw"), 4) + F.lit(0.0)).alias("logratio"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "logratio")
+    )

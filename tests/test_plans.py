@@ -356,3 +356,17 @@ def test_semantic_dedup_candidates_banded_equi_join(spark):
     cplan = plan_of(semantic_candidates(df, n_bands=4, band_bits=4))
     assert "CartesianProduct" not in cplan, cplan
     assert "BroadcastNestedLoop" not in cplan, cplan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """The DSIR weight table (<= n_buckets rows) must broadcast into the
+    corpus occurrence stream — the only wide operator over corpus-sized
+    data is the final per-doc aggregation."""
+    from lectura.sampling import dsir_logratios
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c", "c d", "e"]}))
+    plan = plan_of(dsir_logratios(df.filter("doc_id > 1"),
+                                  df.filter("doc_id = 1"), n_buckets=16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

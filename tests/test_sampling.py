@@ -116,3 +116,61 @@ def test_stratified_sample_nesting_property(spark, docs):
             assert sets[(r1, s)] <= sets[(r2, s)], (r1, r2, s)
         assert sets[(0.0, s)] == set()
         assert len(sets[(1.0, s)]) == 400
+
+
+def test_dsir_logratios_matches_pure(spark):
+    """Pure-Python reference for the DSIR scoring pass: hashed-bigram
+    occurrence streams (buckets from the same Spark xxhash64 the
+    operator uses), add-one-smoothed per-bucket log-ratios rounded to
+    9dp, per-doc sums rounded to 4dp. Also checks the semantics: a doc
+    of target-favored grams outscores a corpus-only doc."""
+    import math
+
+    from lectura.sampling import dsir_logratios
+
+    corpus_rows = [(1, "a b a b c"), (2, "c d c d e"), (3, "x"), (4, "")]
+    target_rows = [(10, "a b a b"), (11, "a b c")]
+    n_buckets = 16
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+
+    got = {r.doc_id: (r.n_grams, r.logratio)
+           for r in dsir_logratios(corpus, target, n=2,
+                                   n_buckets=n_buckets).collect()}
+
+    # reference gram stream (mirrors _gram_stream slice semantics: a doc
+    # shorter than n yields its full-word join; empty grams dropped)
+    def grams(text, n=2):
+        w = text.split()
+        if not w:
+            return []
+        if len(w) < n:
+            return [" ".join(w)]
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    all_grams = sorted({g for _, t in corpus_rows + target_rows
+                        for g in grams(t)})
+    hdf = spark.createDataFrame([(g,) for g in all_grams], "g string")
+    bucket = {r.g: r.b for r in hdf.select(
+        "g", F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("b")).collect()}
+
+    occ_c = [(d, bucket[g]) for d, t in corpus_rows for g in grams(t)]
+    occ_t = [bucket[g] for _, t in target_rows for g in grams(t)]
+    cr, ct = {}, {}
+    for _, b in occ_c:
+        cr[b] = cr.get(b, 0) + 1
+    for b in occ_t:
+        ct[b] = ct.get(b, 0) + 1
+    tr, tt = len(occ_c), len(occ_t)
+    lw = {b: round(math.log((ct.get(b, 0) + 1.0) / (tt + n_buckets))
+                   - math.log((c + 1.0) / (tr + n_buckets)), 9)
+          for b, c in cr.items()}
+    want = {}
+    for d, t in corpus_rows:
+        g = grams(t)
+        if g:
+            want[d] = (len(g), round(sum(lw[bucket[x]] for x in g), 4) + 0.0)
+    assert got == want
+    assert 4 not in got                       # empty doc yields no grams
+    # doc 1 shares "a b"/"b c" mass with the target; doc 2 has none of it
+    assert got[1][1] > got[2][1]
