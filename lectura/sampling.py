@@ -141,11 +141,16 @@ def dsir_logratios(corpus: DataFrame, target: DataFrame, n: int = 2,
 
     Scale shape: both models are `n_buckets`-cardinality hash aggs
     (map-side combine collapses each task to ≤ n_buckets rows — the
-    gram streams never shuffle raw); the weight table (≤ n_buckets
-    rows) broadcasts into the corpus scan, so the only wide operator
-    over corpus-sized data is the final per-doc sum on `id` — slim
-    (id, double) rows. A 10^10-doc corpus scores with one shuffle."""
+    gram streams never shuffle raw); smoothing totals derive from the
+    model tables via a one-task global window, never from re-derived
+    gram-stream lineage; the weight table (≤ n_buckets rows) broadcasts
+    into the corpus scan, so the only wide operator over corpus-sized
+    data is the final per-doc sum on `id` — slim (id, double) rows.
+    A 10^10-doc corpus scores with one shuffle and exactly two corpus
+    scans (model pass + scoring pass)."""
     from lectura.textops import _gram_stream
+
+    from pyspark.sql import Window
 
     occ_c = _gram_stream(corpus, n, id_col, text_col).select(
         "id", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("b"))
@@ -153,14 +158,23 @@ def dsir_logratios(corpus: DataFrame, target: DataFrame, n: int = 2,
         F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("b"))
     raw = occ_c.groupBy("b").agg(F.count("*").alias("cr"))
     tgt = occ_t.groupBy("b").agg(F.count("*").alias("ct"))
-    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
-        tgt.agg(F.sum("ct").alias("tt")))
+    # totals come from the <= n_buckets-row model tables themselves (a
+    # global window over the full-outer join — one task over <= 2B tiny
+    # rows), NOT from fresh aggregations: a separate .agg() re-derives
+    # the whole gram-stream lineage, and the first cut of this operator
+    # planned FOUR corpus scans because of it (plan-audited)
+    win = Window.partitionBy()
     w = (
-        raw.join(tgt, "b", "left").crossJoin(F.broadcast(tot))
+        raw.join(tgt, "b", "full")
+        .select("b",
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+                F.coalesce("ct", F.lit(0)).alias("ct"))
+        .withColumn("tr", F.sum("cr").over(win))
+        .withColumn("tt", F.sum("ct").over(win))
         .select(
             "b",
             F.round(
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                F.log((F.col("ct") + F.lit(1.0))
                       / (F.col("tt") + F.lit(float(n_buckets))))
                 - F.log((F.col("cr") + F.lit(1.0))
                         / (F.col("tr") + F.lit(float(n_buckets)))),
