@@ -142,3 +142,51 @@ def test_empty_extraction_round(spark, tmp_path):
     assert "url" in text.columns  # manifest schema survives the empty read
     log = crawler.wh.read("fetch_log").filter(F.col("round") == 1).collect()
     assert {r.status for r in log} == {"miss"}
+
+
+def test_semantic_dedup_partition_invariance(spark):
+    """Cluster labels, sizes, and membership must be identical at 1 and
+    32 input partitions: the sign-band keys are per-row expressions and
+    the 4dp cosine rounding absorbs summation-order ulps, so no part of
+    the pipeline may depend on physical layout."""
+    from lectura.vectorops import semantic_dedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    fx = emb.unionByName(dup)
+
+    def run(parts):
+        return sorted(
+            (r.vec_id, r.keeper_id, r.cluster_size)
+            for r in semantic_dedup(fx.repartition(parts), min_cosine=0.9)
+            .collect()
+        )
+
+    a, b = run(1), run(32)
+    assert a == b and len(a) >= 2
+
+
+def test_dsir_partition_invariance(spark):
+    """DSIR logratios must be identical at 1 and 32 partitions — the
+    9dp per-bucket rounding makes the per-doc summands engine- and
+    layout-independent, and the 4dp final round absorbs the partial-sum
+    order of the per-doc aggregation."""
+    from lectura.sampling import dsir_logratios
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+
+    def run(parts):
+        d = docs.repartition(parts)
+        return sorted(
+            (r.doc_id, r.n_grams, r.logratio)
+            for r in dsir_logratios(
+                d.filter(F.col("doc_id") % 7 != 0),
+                d.filter(F.col("doc_id") % 7 == 0)).collect()
+        )
+
+    a, b = run(1), run(32)
+    assert a == b and len(a) > 50
