@@ -11,14 +11,16 @@ slim stats projection and one that re-processes the whole corpus.
 
 Plan shape (all shuffles keyed and bounded):
   1. quality/language gates — scan-stage filters (predicate pushdown);
-  2. exact dedup — one hash-partition on `fingerprint` over the SLIM
-     (url, fingerprint, simhash) projection (window keeps the
-     lexicographically-smallest url, counts copies for lineage);
+  2. exact dedup — one partial-aggregating groupBy on `fingerprint`
+     over the SLIM (url, fingerprint, simhash) projection (min(url)
+     keeps the lexicographically-smallest url, count(*) records copies
+     for lineage; duplicates collapse map-side — no window, so the
+     hottest duplicate never sorts inside one task);
   3. near-dup clustering — simhash 4×16-bit pigeonhole banding
      (equi-join, lossless for hamming ≤ 3, hot buckets df-capped) →
      connected components (large-star/small-star, O(log n) rounds) →
-     one window per component keeps the canonical doc and records the
-     cluster size;
+     one partial-aggregating groupBy per component keeps the canonical
+     doc and records the cluster size (same skew-proof shape as 2);
   4. winner join — the only stage that touches `text`: one hash join by
      url fans the kept-url set against the gated scan and feeds the
      url-partitioned shard write.
