@@ -2493,6 +2493,77 @@ def recrawl_sched(spark, sf_dir):
     return recrawl_schedule(ev, 1753920000)
 
 
+# C5 — crawler-trap detection by URL-template fan-out: three calendar
+# hosts whose whole URL space collapses to one digit-template (/cal/N/N/N,
+# 42 distinct urls, frac 1.0 → flagged) beside ten legit hosts spread
+# over five word templates (~165 urls each but frac 0.2 < min_frac →
+# NOT flagged) and one tiny single-template host (frac 1.0 but 7 urls
+# < min_fanout → NOT flagged) — each threshold excludes something.
+# Duplicate URLs (same (month, day) from different orders) exercise the
+# distinct-first semantics.
+@q(
+    "trap_templates_c5",
+    """
+    WITH u AS (
+      SELECT DISTINCT CASE
+        WHEN o_orderkey % 1000 = 0
+        THEN 'http://tiny.example/only/' || (o_orderkey % 7)
+        WHEN o_orderkey % 2 = 0
+        THEN 'http://trap' || (o_custkey % 3) || '.example/cal/2026/' ||
+             (o_orderkey % 12 + 1) || '/' || (o_orderkey % 28 + 1)
+        ELSE 'http://s' || (o_custkey % 10) || '.example/' ||
+             list_value('news', 'blog', 'shop', 'wiki',
+                        'docs')[(o_orderkey % 5) + 1] ||
+             '/' || o_orderkey END AS url
+      FROM orders
+    ), p AS (
+      SELECT lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+             regexp_replace(
+               regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+               '[0-9]+', 'N', 'g') AS template
+      FROM u
+    ), tmpl AS (
+      SELECT host, template, count(*) AS n_urls FROM p GROUP BY 1, 2
+    ), hosts AS (
+      SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+      FROM tmpl GROUP BY 1
+    )
+    SELECT host, template, n_urls, host_urls,
+           round(n_urls / host_urls, 4) AS fanout_frac
+    FROM tmpl JOIN hosts USING (host)
+    WHERE n_urls >= 30 AND n_urls / host_urls >= 0.5
+    """,
+)
+def trap_templates_c5(spark, sf_dir):
+    from lectura.frontier import trap_templates
+
+    o = t(spark, sf_dir, "orders")
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in ["news", "blog", "shop", "wiki",
+                                     "docs"]]),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    url = F.when(
+        F.col("o_orderkey") % 1000 == 0,
+        F.concat(F.lit("http://tiny.example/only/"),
+                 (F.col("o_orderkey") % 7).cast("string")),
+    ).when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("http://trap"),
+                 (F.col("o_custkey") % 3).cast("string"),
+                 F.lit(".example/cal/2026/"),
+                 (F.col("o_orderkey") % 12 + 1).cast("string"), F.lit("/"),
+                 (F.col("o_orderkey") % 28 + 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("http://s"),
+                 (F.col("o_custkey") % 10).cast("string"),
+                 F.lit(".example/"), word, F.lit("/"),
+                 F.col("o_orderkey").cast("string")),
+    )
+    return trap_templates(o.select(url.alias("url")),
+                          min_fanout=30, min_frac=0.5)
+
+
 # C4 — exponential-backoff retry queue from the fetch log (events as the
 # deterministic attempt history: day index = round, 'error' = miss).
 @q(

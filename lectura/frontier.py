@@ -213,3 +213,45 @@ def recrawl_schedule(history: DataFrame, now_epoch_s: int,
         .select("key", "n_obs", "n_changes", "last_epoch",
                 "est_interval_s", "overdue")
     )
+
+
+def trap_templates(urls: DataFrame, min_fanout: int = 100,
+                   min_frac: float = 0.5,
+                   url_col: str = "url") -> DataFrame:
+    """Crawler-trap candidates by URL-template fan-out mining: collapse
+    every digit run in the path to ``N`` (``/cal/2026/3/14`` →
+    ``/cal/N/N/N``) and flag (host, template) pairs whose distinct-URL
+    fan-out is ≥ ``min_fanout`` AND ≥ ``min_frac`` of the host's
+    distinct URLs — the signature of calendar/pagination/session-id URL
+    spaces, where one generative template dominates an effectively
+    unbounded host. Returns (host, template, n_urls, host_urls,
+    fanout_frac); schedulers demote or cap matching hosts. Input URLs
+    are deduplicated first (idempotent if already unique); missing
+    paths template as ''.
+
+    Scale shape: one distinct on url (partial-aggregating — duplicate
+    URLs collapse map-side), then two keyed hash aggs over slim
+    (host, template) rows and an equi-join of template counts against
+    per-host totals; no window, no Python — the url strings never
+    survive past the first aggregation."""
+    parts = (
+        urls.select(F.col(url_col).alias("url"))
+        .dropDuplicates(["url"])
+        .select(
+            F.lower(F.expr("parse_url(url, 'HOST')")).alias("host"),
+            F.regexp_replace(
+                F.coalesce(F.expr("parse_url(url, 'PATH')"), F.lit("")),
+                "[0-9]+", "N",
+            ).alias("template"),
+        )
+    )
+    tmpl = parts.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"))
+    hosts = tmpl.groupBy("host").agg(F.sum("n_urls").alias("host_urls"))
+    frac = F.col("n_urls") / F.col("host_urls")
+    return (
+        tmpl.join(hosts, "host")
+        .filter((F.col("n_urls") >= min_fanout) & (frac >= min_frac))
+        .select("host", "template", "n_urls", "host_urls",
+                F.round(frac, 4).alias("fanout_frac"))
+    )

@@ -238,3 +238,50 @@ def test_retry_schedule_single_shuffle_plan(spark):
     # the window's hash partitioning is reused by the groupBy — one
     # exchange total
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_trap_templates_matches_pure(spark):
+    """Pure-Python reference for crawler-trap template mining: distinct
+    urls first (duplicates collapse), digit runs in the PATH fold to
+    'N', missing paths template as '', and both thresholds (min_fanout,
+    min_frac) must each exclude something in the fixture."""
+    import re
+    from collections import Counter
+
+    from lectura.frontier import trap_templates
+
+    urls = (
+        # calendar trap: one template dominates host a (frac 1.0)
+        [f"http://a.example/cal/2026/{m}/{d}" for m in range(1, 6)
+         for d in range(1, 9)]
+        # duplicates of the first few: must count once
+        + [f"http://a.example/cal/2026/1/{d}" for d in range(1, 9)]
+        # diverse host: two templates, each frac 0.5 but fanout < min
+        + [f"http://b.example/p/{i}" for i in range(6)]
+        + [f"http://b.example/q/{i}" for i in range(6)]
+        # tiny single-template host: frac 1.0, fanout below min
+        + ["http://c.example/only/1", "http://c.example/only/2"]
+        # no-path url: templates as ''
+        + ["http://d.example"] * 3
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {(r.host, r.template): (r.n_urls, r.host_urls, r.fanout_frac)
+           for r in trap_templates(df, min_fanout=10, min_frac=0.6)
+           .collect()}
+
+    seen = sorted(set(urls))
+    per = Counter()
+    for u in seen:
+        m = re.match(r"^[a-z]+://([^/?#]+)(/[^?#]*)?", u)
+        host, path = m.group(1).lower(), m.group(2) or ""
+        per[(host, re.sub(r"[0-9]+", "N", path))] += 1
+    hosts = Counter()
+    for (h, _), n in per.items():
+        hosts[h] += n
+    want = {}
+    for (h, tpl), n in per.items():
+        frac = n / hosts[h]
+        if n >= 10 and frac >= 0.6:
+            want[(h, tpl)] = (n, hosts[h], round(frac, 4))
+    assert got == want
+    assert got == {("a.example", "/cal/N/N/N"): (40, 40, 1.0)}

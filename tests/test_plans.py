@@ -370,3 +370,18 @@ def test_dsir_weight_table_broadcasts(spark):
                                   df.filter("doc_id = 1"), n_buckets=16))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_trap_templates_partial_aggs_no_window(spark):
+    """Template mining must be groupBy-shaped (partial aggregation —
+    the hottest template combines map-side) with no Window and no
+    Python node; urls never survive past the first aggregation."""
+    from lectura.frontier import trap_templates
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["http://a.example/p/1",
+                              "http://a.example/p/2"]}))
+    plan = plan_of(trap_templates(df))
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
