@@ -72,7 +72,7 @@ OPERATOR_QUERIES = [
     "ann_cosine_topk", "dedup_exact", "token_count", "corpus_export",
     "decontaminate_ngrams", "repetition_metrics", "sample_stratified",
     "shard_pack", "dsir_weights", "boilerplate_strip", "line_dedup_global",
-    "retry_backoff_c4", "trap_templates_c5",
+    "retry_backoff_c4", "trap_templates_c5", "anchor_text_g3",
 ]
 
 

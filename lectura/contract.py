@@ -2493,6 +2493,61 @@ def recrawl_sched(spark, sf_dir):
     return recrawl_schedule(ev, 1753920000)
 
 
+# G3 — anchor-text aggregation over the link graph: the REAL
+# extract_anchors UDF runs on deterministic per-supplier HTML (entities,
+# nested tags, unquoted/single-quoted hrefs, skipped #/mailto refs,
+# empty anchor text, a commented-out anchor), and the oracle constructs
+# the expected (dst, text) occurrence stream directly in SQL — the same
+# build-the-expectation pattern as canonicalize_u1. Aggregation checks
+# multiplicity (n_refs), distinct texts, and the deterministic mode
+# tie-break (highest count, then lexicographically smallest text).
+@q(
+    "anchor_text_g3",
+    """
+    WITH s AS (SELECT s_suppkey AS k FROM supplier),
+    occ AS (
+      SELECT 'http://s' || k || '.example/p/' || u.p AS dst, u.t AS text
+      FROM (SELECT k, unnest([
+          {'p': 1, 't': 'Widget one'},
+          {'p': 1, 't': 'Widget & one'},
+          {'p': 1, 't': 'Widget one'},
+          {'p': 2, 't': 'Item ' || k},
+          {'p': 2, 't': 'Bold item'},
+          {'p': 3, 't': ''}]) AS u
+        FROM s)
+    ), per AS (
+      SELECT dst, text, count(*) AS c FROM occ GROUP BY 1, 2
+    )
+    SELECT dst, CAST(sum(c) AS BIGINT) AS n_refs,
+           CAST(count(*) AS BIGINT) AS n_texts,
+           arg_min(text, printf('%013d', 1000000000000 - c) || '|' || text)
+             AS top_text,
+           CAST(max(c) AS BIGINT) AS top_text_refs
+    FROM per GROUP BY dst
+    """,
+)
+def anchor_text_g3(spark, sf_dir):
+    from lectura.extract import extract_anchors_udf
+    from lectura.graphops import anchor_summary
+
+    s = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    html = F.format_string(
+        '<html><body><a href="/p/1">Widget one</a>'
+        '<a href="/p/1">Widget &amp; one</a><a href="/p/1">Widget one</a>'
+        "<a href='/p/2'>Item %d</a><a href=/p/2><b>Bold</b> item</a>"
+        '<a href="#f">skip</a><a href="/p/3"></a>'
+        '<a href="mailto:x@y">m</a><!-- <a href="/no">c</a> -->'
+        "</body></html>",
+        F.col("k"),
+    )
+    base = F.format_string("http://s%d.example/list", F.col("k"))
+    anchors = (
+        s.select(F.explode(extract_anchors_udf(html, base)).alias("a"))
+        .select(F.col("a.url").alias("dst"), F.col("a.text").alias("text"))
+    )
+    return anchor_summary(anchors)
+
+
 # C5 — crawler-trap detection by URL-template fan-out: three calendar
 # hosts whose whole URL space collapses to one digit-template (/cal/N/N/N,
 # 42 distinct urls, frac 1.0 → flagged) beside ten legit hosts spread

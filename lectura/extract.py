@@ -84,6 +84,22 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda b: extract_text(bytes(b)) if b is not None else None)
 
 
+@F.pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("text", T.StringType()),
+])))
+def extract_anchors_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """(url, anchor_text) occurrence stream per page (pure spec fn
+    extract_anchors, Arrow-batched)."""
+    from lectura.pure.extract import extract_anchors
+
+    return pd.Series([
+        extract_anchors(bytes(b) if isinstance(b, (bytes, bytearray))
+                        else b, u) if b is not None else []
+        for b, u in zip(html, base_url)
+    ])
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     """X1 standalone."""

@@ -167,3 +167,37 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .localCheckpoint()
         )
     return pr
+
+
+def anchor_summary(anchors: DataFrame, dst_col: str = "dst",
+                   text_col: str = "text") -> DataFrame:
+    """Anchor-text aggregation over the (dst_url, anchor_text)
+    occurrence stream (extract.extract_anchors_udf): per target URL,
+    total referring anchors, distinct anchor texts, and the modal
+    anchor text — the classic link-graph label signal (search ranking /
+    weak supervision for training data). Mode tie-break is
+    deterministic: highest count, then lexicographically smallest text,
+    encoded as one sortable composite key (zero-padded inverted count
+    '|' text) so a single min_by resolves it — the same key an oracle
+    can build with printf, no struct-ordered aggregate needed.
+
+    Scale shape: two partial-aggregating hash aggs — (dst, text) counts
+    collapse the occurrence stream map-side (boilerplate anchors like
+    'home' are exactly the hot keys partial agg absorbs), then one agg
+    on dst; no window, no join-back, texts cross one shuffle."""
+    per = (
+        anchors.groupBy(F.col(dst_col).alias("dst"),
+                        F.col(text_col).alias("text"))
+        .agg(F.count("*").alias("c"))
+    )
+    key = F.concat(
+        F.lpad((F.lit(1_000_000_000_000) - F.col("c")).cast("string"),
+               13, "0"),
+        F.lit("|"), F.col("text"),
+    )
+    return per.groupBy("dst").agg(
+        F.sum("c").alias("n_refs"),
+        F.count("*").alias("n_texts"),
+        F.min_by("text", key).alias("top_text"),
+        F.max("c").alias("top_text_refs"),
+    )

@@ -58,6 +58,51 @@ def extract_links(html: bytes | str, base_url: str) -> list[str]:
     return _links_from_stripped(s, base_url)
 
 
+_RE_A_PAIR = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>"""
+    r"""(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_anchors(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
+    """(target_url, anchor_text) per <a href=…>…</a> occurrence, document
+    order, multiplicity KEPT (anchor-text aggregation needs the raw
+    occurrence stream, unlike extract_links' deduped set).
+
+    href handling is identical to extract_links (unescape, skip
+    empty/#/mailto:/javascript:/tel:/data:, resolve against base, §1
+    canonicalize, http(s) only, skip self-links). Anchor text = the
+    body between the opening tag and the nearest </a>, run through the
+    same tag-strip → entity-unescape → whitespace-normalize pipeline as
+    extract_text; may be ''. Anchors without a closing tag yield no
+    row. script/style/comment regions are removed before matching."""
+    from lectura.pure.urlnorm import resolve_url
+
+    s = _decode(html)
+    s = _RE_STRIP.sub(" ", s)
+    out: list[tuple[str, str]] = []
+    memo: dict = {}
+    for m in _RE_A_PAIR.finditer(s):
+        raw = m.group(1) or m.group(2) or m.group(3) or ""
+        u = memo.get(raw, _MISS)
+        if u is _MISS:
+            href = _html.unescape(raw).strip()
+            if not href or href.startswith("#"):
+                u = None
+            else:
+                low = href.lower()
+                if any(low.startswith(p) for p in _SKIP_SCHEMES):
+                    u = None
+                else:
+                    u = resolve_url(base_url, href)
+            memo[raw] = u
+        if u is None or u == base_url:
+            continue
+        out.append((u, _text_from_stripped(m.group(4))))
+    return out
+
+
 _MISS = object()
 
 

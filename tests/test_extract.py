@@ -134,3 +134,53 @@ def test_gzip_corpus_extraction_identical(spark, corpus):
     b = {r["url"]: (r["text"], tuple(r["links"]), r["bytes"])
          for r in extract_pages(gz, gzipped=True).collect()}
     assert a == b and len(a) == 50
+
+
+def test_extract_anchors_spec_and_summary(spark):
+    """Anchor extraction spec (SEMANTICS §9c): multiplicity kept, same
+    href pipeline as extract_links, anchor text through the extract_text
+    pipeline, dangling <a> absorbs up to the nearest </a> (anchors
+    opened inside are markup), self-links skipped; anchor_summary's
+    mode tie-break = highest count then smallest text."""
+    from pyspark.sql import functions as F
+
+    from lectura.extract import extract_anchors_udf
+    from lectura.graphops import anchor_summary
+    from lectura.pure.extract import extract_anchors
+
+    html = (
+        '<a href="/a">one</a><a href="/a">one</a>'
+        '<a href="/a">two</a>'
+        "<a href='/b'>x &lt;y&gt;</a>"
+        '<a href=/b><i>styled</i> x</a>'
+        '<a href="/dangling">eats <a href="/lost">inner</a>'
+        '<a href="http://base.example/list">self</a>'
+        '<a href="#f">frag</a><a href="javascript:x()">js</a>'
+        '<a href="/empty"></a>'
+    )
+    base = "http://base.example/list"
+    got = extract_anchors(html, base)
+    assert got == [
+        ("http://base.example/a", "one"),
+        ("http://base.example/a", "one"),
+        ("http://base.example/a", "two"),
+        ("http://base.example/b", "x <y>"),
+        ("http://base.example/b", "styled x"),
+        # the dangling /a absorbs the /lost anchor as markup
+        ("http://base.example/dangling", "eats inner"),
+        ("http://base.example/empty", ""),
+    ]
+
+    df = spark.createDataFrame([(html, base)], "html string, base string")
+    rows = (
+        df.select(F.explode(extract_anchors_udf("html", "base")).alias("a"))
+        .select(F.col("a.url").alias("dst"), F.col("a.text").alias("text"))
+    )
+    assert [(r.dst, r.text) for r in rows.collect()] == got
+
+    summ = {r.dst: (r.n_refs, r.n_texts, r.top_text, r.top_text_refs)
+            for r in anchor_summary(rows).collect()}
+    assert summ["http://base.example/a"] == (3, 2, "one", 2)
+    # tie at c=1: lexicographically smallest text wins
+    assert summ["http://base.example/b"] == (2, 2, "styled x", 1)
+    assert summ["http://base.example/empty"] == (1, 1, "", 1)
