@@ -2493,6 +2493,72 @@ def recrawl_sched(spark, sf_dir):
     return recrawl_schedule(ev, 1753920000)
 
 
+# Q5 — PII scrubbing (C4/RefinedWeb-style email/IPv4/phone redaction):
+# documents text gets deterministic planted PII per doc_id class; both
+# engines run the identical dialect-safe regex pipeline in the frozen
+# stage order (emails → IPs → phones, counts on each stage's input).
+@q(
+    "pii_scrub",
+    r"""
+    WITH x AS (
+      SELECT doc_id, substr(text, 1, 80) ||
+        CASE doc_id % 4
+          WHEN 0 THEN ' write to user' || doc_id || '@corp' || doc_id ||
+                      '.example.net today'
+          WHEN 1 THEN ' hosts 10.0.' || (doc_id % 256) || '.' ||
+                      ((doc_id * 7) % 256) || ' and 8.8.8.8'
+          WHEN 2 THEN printf(' call +1 (212) 555-%04d now', doc_id % 10000)
+          ELSE ' nothing sensitive here' END AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+        len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+      FROM x
+    ), s2 AS (
+      SELECT doc_id, n_emails,
+        len(regexp_extract_all(t,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        regexp_replace(t,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+            '<IP>', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_emails, n_ips,
+        len(regexp_extract_all(t, '\+?[0-9][0-9 ()\-]{6,}[0-9]')) AS n_phones,
+        regexp_replace(t, '\+?[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS t
+      FROM s2
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(n_phones AS BIGINT) AS n_phones, t AS text_clean
+    FROM s3
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    from lectura.textops import pii_scrub as scrub
+
+    d = t(spark, sf_dir, "documents")
+    fx = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.when(F.col("doc_id") % 4 == 0, F.format_string(
+                " write to user%d@corp%d.example.net today",
+                F.col("doc_id"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1, F.format_string(
+                " hosts 10.0.%d.%d and 8.8.8.8",
+                F.col("doc_id") % 256, (F.col("doc_id") * 7) % 256))
+            .when(F.col("doc_id") % 4 == 2, F.format_string(
+                " call +1 (212) 555-%04d now", F.col("doc_id") % 10000))
+            .otherwise(F.lit(" nothing sensitive here")),
+        ).alias("text"),
+    )
+    return scrub(fx)
+
+
 # G3 — anchor-text aggregation over the link graph: the REAL
 # extract_anchors UDF runs on deterministic per-supplier HTML (entities,
 # nested tags, unquoted/single-quoted hrefs, skipped #/mailto refs,

@@ -571,3 +571,37 @@ def corpus_export(docs: DataFrame, langs=("en",), min_words: int = 20,
         .select("doc_id", "lang", "source", "n_words", "stopword_ratio",
                 "distinct_ratio", "text_sha", "n_copies")
     )
+
+
+# PII scrubbing patterns (C4/RefinedWeb-style preprocessing). ORDER IS
+# THE SPEC: emails first (their digits must not count as phones), then
+# dotted quads (not phone digit-runs), then phone-like runs over what
+# remains. Dialect-safe subset verified to behave identically under
+# Java regex (Spark) and RE2 (DuckDB oracle) — no backreferences, no
+# lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()\-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like digit runs to
+    ``<EMAIL>``/``<IP>``/``<PHONE>`` tokens (the standard web-corpus
+    PII pass), counting each class on the text as it enters that stage
+    (sequential pipeline — see PII_PATTERNS order note). NULL text
+    degrades to ('', 0, 0, 0). Returns (id, n_emails, n_ips, n_phones,
+    text_clean).
+
+    Scale shape: zero shuffle — the whole pass is chained
+    regexp_count/regexp_replace JVM expressions in the scan stage; no
+    UDF, text never leaves its input partition."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col)]
+    for name, pat, rep in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}s"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(*cols, cur.alias("text_clean"))

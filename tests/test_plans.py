@@ -385,3 +385,15 @@ def test_trap_templates_partial_aggs_no_window(spark):
     assert "Window" not in plan, plan
     assert "Python" not in plan and "BatchEval" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """The PII pass must be pure scan-stage JVM expressions — no
+    Exchange, no Python node; text never leaves its input partition."""
+    from lectura.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a@b.co 1.2.3.4"]}))
+    plan = plan_of(pii_scrub(df))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan

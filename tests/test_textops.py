@@ -597,3 +597,37 @@ def test_lang_id_null_text_is_und(spark):
            for r in lang_id(df).collect()}
     assert got[1] == ("und", 0, 0)
     assert got[2] == ("en", 3, 3)
+
+
+def test_pii_scrub_matches_pure(spark):
+    """Pure-Python re reference for the PII pipeline: stage order
+    (emails -> IPs -> phones), counts on each stage's input, NULL text
+    -> ('', 0, 0, 0), phone greediness over spaced digit groups."""
+    import re
+
+    from lectura.textops import PII_PATTERNS, pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@x-y.co or d@e.io, ip 10.0.255.1, +1 (415) 555-0199"),
+        (2, "ver 1.2.3.4.5 and 255.255.255.255 end"),   # quad inside quint
+        (3, "digits 12 34 nothing"),                     # too short for phone
+        (4, None),
+        (5, "call 415 555 0199 or 4155550199 x"),
+        (6, "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.text_clean)
+           for r in pii_scrub(df).collect()}
+
+    want = {}
+    for i, txt in rows:
+        cur = txt or ""
+        counts = []
+        for _, pat, rep in PII_PATTERNS:
+            counts.append(len(re.findall(pat, cur)))
+            cur = re.sub(pat, rep, cur)
+        want[i] = (*counts, cur)
+    assert got == want
+    assert got[4] == (0, 0, 0, "")
+    assert got[1][:3] == (2, 1, 1)
+    assert "<PHONE>" in got[5][3] and got[5][2] >= 1
