@@ -238,7 +238,11 @@ def trap_templates(urls: DataFrame, min_fanout: int = 100,
         urls.select(F.col(url_col).alias("url"))
         .dropDuplicates(["url"])
         .select(
-            F.lower(F.expr("parse_url(url, 'HOST')")).alias("host"),
+            # full lowercased AUTHORITY (SEMANTICS: host:port is the
+            # politeness/trap unit — parse_url('HOST') would strip a
+            # non-default port and merge distinct authorities)
+            F.lower(F.regexp_extract("url", "^[a-z]+://([^/?#]+)", 1))
+             .alias("host"),
             F.regexp_replace(
                 F.coalesce(F.expr("parse_url(url, 'PATH')"), F.lit("")),
                 "[0-9]+", "N",

@@ -77,26 +77,13 @@ def extract_anchors(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
     same tag-strip → entity-unescape → whitespace-normalize pipeline as
     extract_text; may be ''. Anchors without a closing tag yield no
     row. script/style/comment regions are removed before matching."""
-    from lectura.pure.urlnorm import resolve_url
-
     s = _decode(html)
     s = _RE_STRIP.sub(" ", s)
     out: list[tuple[str, str]] = []
     memo: dict = {}
     for m in _RE_A_PAIR.finditer(s):
         raw = m.group(1) or m.group(2) or m.group(3) or ""
-        u = memo.get(raw, _MISS)
-        if u is _MISS:
-            href = _html.unescape(raw).strip()
-            if not href or href.startswith("#"):
-                u = None
-            else:
-                low = href.lower()
-                if any(low.startswith(p) for p in _SKIP_SCHEMES):
-                    u = None
-                else:
-                    u = resolve_url(base_url, href)
-            memo[raw] = u
+        u = _resolve_href(raw, base_url, memo)
         if u is None or u == base_url:
             continue
         out.append((u, _text_from_stripped(m.group(4))))
@@ -106,29 +93,36 @@ def extract_anchors(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
 _MISS = object()
 
 
-def _links_from_stripped(s: str, base_url: str) -> list[str]:
+def _resolve_href(raw: str, base_url: str, memo: dict) -> str | None:
+    """The frozen href pipeline shared by extract_links and
+    extract_anchors: unescape → skip empty/#/mailto-class schemes →
+    RFC 3986 resolve + §1 canonicalize. `memo` caches per page on the
+    raw matched href (listing/nav pages repeat the same href many
+    times — pure optimization, outputs identical)."""
     from lectura.pure.urlnorm import resolve_url
 
+    u = memo.get(raw, _MISS)
+    if u is _MISS:
+        href = _html.unescape(raw).strip()
+        if not href or href.startswith("#"):
+            u = None
+        else:
+            low = href.lower()
+            if any(low.startswith(p) for p in _SKIP_SCHEMES):
+                u = None
+            else:
+                u = resolve_url(base_url, href)
+        memo[raw] = u
+    return u
+
+
+def _links_from_stripped(s: str, base_url: str) -> list[str]:
     seen: set[str] = set()
     out: list[str] = []
-    # per-page memo on the raw matched href: listing/nav pages repeat the
-    # same href many times, and unescape+resolve+canonicalize are the
-    # per-link cost (pure optimization — outputs identical)
     memo: dict = {}
     for m in _RE_HREF.finditer(s):
         raw = m.group(1) or m.group(2) or m.group(3) or ""
-        u = memo.get(raw, _MISS)
-        if u is _MISS:
-            href = _html.unescape(raw).strip()
-            if not href or href.startswith("#"):
-                u = None
-            else:
-                low = href.lower()
-                if any(low.startswith(p) for p in _SKIP_SCHEMES):
-                    u = None
-                else:
-                    u = resolve_url(base_url, href)
-            memo[raw] = u
+        u = _resolve_href(raw, base_url, memo)
         if u is None or u == base_url:
             continue
         if u not in seen:

@@ -7,11 +7,12 @@ Shows the documented band-geometry dial in the scale direction: at n =
 every bucket (~10^10 candidate pairs); 4 bands x 16 bits spreads the
 same 64 sign bits over 65 536 buckets per band (~15 rows each), keeping
 candidates at ~n * avg_bucket * bands while planted near-dups (3 of 64
-dims zeroed, cosine ~0.97-0.99) are GUARANTEED to collide: zeroing 3
-dims flips at most 3 sign bits, and 3 flips cannot touch all 4 bands
-(the same pigeonhole that makes simhash 4x16 banding lossless for
-hamming <= 3) — so planted recall must be 1.0 and anything less is a
-bug, not tuning. Reported: index+cluster wall, candidate-pair volume,
+dims zeroed, cosine ~0.97-0.99) are guaranteed to collide when no
+bucket cap is set: zeroing 3 dims flips at most 3 sign bits, and 3
+flips cannot touch all 4 bands (the simhash pigeonhole). With
+max_bucket set, a saturated guaranteed-collision bucket could be
+dropped — at this data's ~15-member buckets vs cap 200 that never
+happens, so measured recall 1.0 doubles as a correctness check. Reported: index+cluster wall, candidate-pair volume,
 cluster count, and planted-pair recall (fraction of the 10^5 planted
 (base, dup) pairs that end in the same cluster).
 
@@ -73,7 +74,11 @@ def main() -> None:
                         - 1000) / 1000.0).cast("float"),
         ).alias("embedding"),
     )
-    lo = (F.col("vec_id") % 5) * 3
+    # rotate over the dup INDEX (vec_id // dup_mod): with the default
+    # dup_mod=10, vec_id % 5 is always 0 for planted ids and every dup
+    # would zero the same dims 0-2 — one band-collision pattern instead
+    # of five
+    lo = ((F.col("vec_id") / dup_mod).cast("long") % 5) * 3
     dups = base.filter(F.col("vec_id") % dup_mod == 0).select(
         (F.col("vec_id") + n).alias("vec_id"),
         F.transform(
@@ -108,7 +113,7 @@ def main() -> None:
                         F.col("keeper_id").alias("kb")).filter(F.col("b") < n)
     k_dup = res.select((F.col("vec_id") - n).alias("b"),
                        F.col("keeper_id").alias("kd")).filter(F.col("b") >= 0)
-    n_planted = n // dup_mod if n % dup_mod else n // dup_mod
+    n_planted = (n + dup_mod - 1) // dup_mod  # multiples of dup_mod in [0, n)
     n_recovered = (
         k_base.join(k_dup, "b").filter(F.col("kb") == F.col("kd")).count()
     )

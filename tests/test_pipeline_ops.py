@@ -261,8 +261,12 @@ def test_trap_templates_matches_pure(spark):
         + [f"http://b.example/q/{i}" for i in range(6)]
         # tiny single-template host: frac 1.0, fanout below min
         + ["http://c.example/only/1", "http://c.example/only/2"]
-        # no-path url: templates as ''
-        + ["http://d.example"] * 3
+        # path-less urls (distinct via query): template '' must be
+        # OBSERVABLE in the flagged output — 12 distinct >= min_fanout,
+        # frac 1.0 — so a parse_url PATH NULL-vs-'' regression cannot
+        # ship green
+        + [f"http://d.example?x={i}" for i in range(12)]
+        + ["http://d.example?x=0"] * 2     # duplicates count once
     )
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {(r.host, r.template): (r.n_urls, r.host_urls, r.fanout_frac)
@@ -284,4 +288,5 @@ def test_trap_templates_matches_pure(spark):
         if n >= 10 and frac >= 0.6:
             want[(h, tpl)] = (n, hosts[h], round(frac, 4))
     assert got == want
-    assert got == {("a.example", "/cal/N/N/N"): (40, 40, 1.0)}
+    assert got == {("a.example", "/cal/N/N/N"): (40, 40, 1.0),
+                   ("d.example", ""): (12, 12, 1.0)}
