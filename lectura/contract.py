@@ -2292,6 +2292,17 @@ def shard_pack(spark, sf_dir):
     )
 
 
+# Q6 — cross-document duplicated-span stats (the ExactSubstr gate):
+# the synthetic documents naturally share ~1.1k 5-word spans across
+# docs at sf0.01, so no planting is needed — both engines hash distinct
+# grams with xxhash64 and count distinct-doc frequency.
+@q("dup_span_stats", _osql.dup_span_sql(k=5))
+def dup_span_stats(spark, sf_dir):
+    from lectura.textops import dup_span_stats as spans
+
+    return spans(t(spark, sf_dir, "documents"), k=5)
+
+
 # SEL3 — DSIR importance weights (hashed-n-gram log-likelihood ratio):
 # target = every 7th doc (stand-in quality reference, same split the
 # decontamination fixture uses), corpus = the rest; both engines hash

@@ -417,6 +417,28 @@ GROUP BY o.doc_id
 """
 
 
+def dup_span_sql(k: int = 5) -> str:
+    """Cross-document duplicated-span oracle (mirrors
+    textops.dup_span_stats): k-word windows with multiplicity, distinct
+    grams hashed once through the pure-SQL xxhash64 chain, a span is
+    duplicated iff it occurs in ≥ 2 distinct documents."""
+    return f"""
+WITH {_shingle_ctes(k, distinct=False)},
+dg AS (SELECT DISTINCT s FROM shr),
+{xxhash64_ctes('dg', 's', out='xx', p='x')},
+hb AS (SELECT s, xx AS h FROM x7),
+occ AS (SELECT doc_id, h FROM shr JOIN hb USING (s)),
+sdf AS (SELECT h, count(DISTINCT doc_id) AS d FROM occ GROUP BY h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_span_frac
+FROM occ JOIN sdf USING (h)
+GROUP BY doc_id
+"""
+
+
 def repetition_sql(n: int = 2) -> str:
     """Gopher-style repetition signals per doc (mirrors
     textops.repetition_stats): word-level duplicate fraction plus the

@@ -605,3 +605,44 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
             F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}s"))
         cur = F.regexp_replace(cur, pat, rep)
     return df.select(*cols, cur.alias("text_clean"))
+
+
+def dup_span_stats(df: DataFrame, k: int = 13, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span flagging — the distributed
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb's span-removal gate): a k-word window is DUPLICATED iff
+    its xxhash64 occurs in ≥ 2 distinct documents. Per doc emits total
+    windows (with multiplicity), duplicated-window occurrences, and
+    their fraction — the gating signal (span removal itself is a
+    trivial filter over the same flags). Complements repetition_stats
+    (within-doc) and contamination_stats (vs a benchmark set): this one
+    is corpus-global. Docs with no window (empty text) emit no row.
+
+    Scale shape: windows leave the scan as 64-bit hashes (strings never
+    shuffle); the document-frequency table is a partial-aggregating
+    distinct + hash agg on h; the hot-span set joins back by long-key
+    equi-join (NOT broadcast — at corpus scale it is corpus-sized);
+    the per-doc rollup is one slim keyed agg."""
+    occ = _gram_stream(df, k, id_col, text_col).select(
+        "id", F.xxhash64("gram").alias("h"))
+    hot = (
+        occ.distinct().groupBy("h").agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        occ.join(hot, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("long")
+             .alias("n_dup_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_spans", "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+             .alias("dup_span_frac"),
+        )
+    )

@@ -635,3 +635,51 @@ def test_pii_scrub_matches_pure(spark):
     assert got[4] == (0, 0, 0, "")
     assert got[1][:3] == (2, 1, 1)
     assert "<PHONE>" in got[5][3] and got[5][2] >= 1
+
+
+def test_dup_span_stats_matches_pure(spark):
+    """Pure-Python reference for cross-document span flagging: a k-word
+    window is duplicated iff it occurs in >= 2 distinct docs; within-doc
+    repeats add multiplicity to n_spans/n_dup_spans but only once to a
+    span's document frequency; short docs yield their full-word join;
+    empty docs emit no row."""
+    from collections import Counter
+
+    from lectura.textops import dup_span_stats
+
+    rows = [
+        (1, "a b c d e f"),          # shares "a b c" with doc 2
+        (2, "a b c x y"),
+        (3, "a b c a b c z"),        # within-doc repeat of the hot span
+        (4, "u v w q r"),            # no shared spans
+        (5, "s t"),                  # short doc -> single full-join span
+        (6, "s t"),                  # duplicate short doc
+        (7, ""),                     # no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+           for r in dup_span_stats(df, k=3).collect()}
+
+    def grams(text, k=3):
+        w = text.split()
+        if not w:
+            return []
+        if len(w) < k:
+            return [" ".join(w)]
+        return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+
+    docfreq = Counter()
+    for _, t in rows:
+        for g in set(grams(t)):
+            docfreq[g] += 1
+    want = {}
+    for i, t in rows:
+        g = grams(t)
+        if not g:
+            continue
+        nd = sum(docfreq[x] >= 2 for x in g)
+        want[i] = (len(g), nd, round(nd / len(g), 4))
+    assert got == want
+    assert 7 not in got
+    assert got[3][1] == 2          # both copies of the hot span count
+    assert got[5] == (1, 1, 1.0) and got[4][1] == 0
