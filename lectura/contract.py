@@ -2292,6 +2292,45 @@ def shard_pack(spark, sf_dir):
     )
 
 
+# Q7 — TF-IDF top-k terms per document (keyword extraction): both
+# engines tokenize on [^a-z0-9]+, smooth idf identically, pre-round idf
+# to 9dp and the score to 4dp, and rank on (rounded score DESC, term
+# ASC) so ranking is deterministic and engine-invariant.
+@q(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * round(ln((n + 1.0) / (df + 1.0)), 9), 4) + 0.0
+               AS score
+      FROM tf JOIN dfreq USING (term), nn
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    from lectura.textops import tfidf_top_terms as tfidf
+
+    return tfidf(t(spark, sf_dir, "documents"), k=5)
+
+
 # Q6 — cross-document duplicated-span stats (the ExactSubstr gate):
 # the synthetic documents naturally share ~1.1k 5-word spans across
 # docs at sf0.01, so no planting is needed — both engines hash distinct

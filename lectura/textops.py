@@ -646,3 +646,57 @@ def dup_span_stats(df: DataFrame, k: int = 13, id_col: str = "doc_id",
              .alias("dup_span_frac"),
         )
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction for curation
+    / indexing): tokens = lowercased runs of [a-z0-9]; tf = occurrences
+    in the doc, idf = ln((N+1)/(df+1)) with N = docs having ≥ 1 token
+    and df = distinct docs containing the term (add-one smoothed);
+    score = round(tf · idf, 4) with idf pre-rounded to 9dp so the
+    ranking is engine- and partitioning-invariant; rank orders by
+    (rounded score DESC, term ASC) — ties are deterministic because the
+    rank key IS the rounded value. Docs with fewer than k distinct
+    terms emit fewer rows. Returns (id, term, score, rank).
+
+    Scale shape: tokens collapse to (id, term, tf) map-side; df is a
+    hash agg on term joined back by term-key equi-join (never
+    broadcast — vocabulary-sized); the top-k window partitions by doc
+    id (bounded by per-doc vocabulary — no hot key). N costs one extra
+    aggregation pass over the token stream; at corpus scale persist the
+    tokenized projection first."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                F.lit(""))),
+                             "[^a-z0-9]+"),
+                     lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct("id").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.round(F.log((F.col("n") + F.lit(1.0))
+                                / (F.col("df") + F.lit(1.0))), 9),
+                4,
+            ) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "score",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -683,3 +683,49 @@ def test_dup_span_stats_matches_pure(spark):
     assert 7 not in got
     assert got[3][1] == 2          # both copies of the hot span count
     assert got[5] == (1, 1, 1.0) and got[4][1] == 0
+
+
+def test_tfidf_top_terms_matches_pure(spark):
+    """Pure-Python TF-IDF reference: [a-z0-9]-run tokenization,
+    add-one-smoothed ln idf pre-rounded to 9dp, score to 4dp, rank on
+    (rounded score DESC, term ASC); NULL text contributes nothing; the
+    ranking must be identical at 1 and 16 partitions."""
+    import math
+    import re
+    from collections import Counter
+
+    from lectura.textops import tfidf_top_terms
+
+    rows = [
+        (1, "Spark spark CRAWL frontier frontier frontier"),
+        (2, "spark robots; robots, politeness!"),
+        (3, "unique-term spark crawl"),
+        (4, None),
+        (5, "zz zz zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.term, r.score, r.rank)
+                 for r in tfidf_top_terms(df, k=3).collect())
+
+    tf = {}
+    for i, t in rows:
+        toks = [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+        if toks:
+            tf[i] = Counter(toks)
+    n = len(tf)
+    dfreq = Counter(t for c in tf.values() for t in c)
+    want = []
+    for i, c in tf.items():
+        scored = sorted(
+            ((round(cnt * round(math.log((n + 1) / (dfreq[t] + 1)), 9), 4)
+              + 0.0, t) for t, cnt in c.items()),
+            key=lambda x: (-x[0], x[1]))
+        for r, (s, t) in enumerate(scored[:3], 1):
+            want.append((i, t, s, r))
+    assert got == sorted(want)
+    assert 4 not in {g[0] for g in got}
+
+    got16 = sorted((r.doc_id, r.term, r.score, r.rank)
+                   for r in tfidf_top_terms(df.repartition(16), k=3)
+                   .collect())
+    assert got16 == got
