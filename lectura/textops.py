@@ -30,6 +30,18 @@ def words(col) -> F.Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def folded_tokens(col, rx: str) -> F.Column:
+    """Lowercased tokens of `col` split on `rx`, empties dropped, NULL
+    text coalesced to '' (under ANSI, size(split(NULL)) is NULL and
+    poisons every downstream guard — the lang_id lesson). Shared by
+    lang_id ([^a-z]+) and tfidf_top_terms ([^a-z0-9]+) so the
+    NULL-handling subtlety lives in exactly one place."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), rx),
+        lambda x: x != "",
+    )
+
+
 def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                 id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) — distinct word n-grams per document (JVM-side)."""
@@ -439,14 +451,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     partition."""
     profiles = profiles or LANG_PROFILES
     codes = sorted(profiles)
-    # coalesce: NULL text must classify as 'und' with 0 tokens — under
-    # ANSI, size(split(NULL)) is NULL, the `best < min_hits` guard would
-    # be NULL too, and the argmax branch would then pick the first
-    # language code for a contentless row
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
-        lambda x: x != "",
-    )
+    # folded_tokens coalesces NULL text: it must classify as 'und' with
+    # 0 tokens — under ANSI the `best < min_hits` guard would otherwise
+    # be NULL and the argmax branch would pick the first language code
+    toks = folded_tokens(F.col(text_col), "[^a-z]+")
     hits = [
         F.size(F.filter(toks, lambda x: x.isin(profiles[c]))).alias(f"h_{c}")
         for c in codes
@@ -628,7 +636,10 @@ def dup_span_stats(df: DataFrame, k: int = 13, id_col: str = "doc_id",
     occ = _gram_stream(df, k, id_col, text_col).select(
         "id", F.xxhash64("gram").alias("h"))
     hot = (
-        occ.distinct().groupBy("h").agg(F.count("*").alias("ndocs"))
+        # count("id"), not count("*"): a NULL doc id must not add to a
+        # span's document frequency (SQL count(DISTINCT doc_id)
+        # semantics — the oracle's rule)
+        occ.distinct().groupBy("h").agg(F.count("id").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
         .select("h", F.lit(1).alias("dup"))
     )
@@ -670,12 +681,8 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
 
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
-                                                F.lit(""))),
-                             "[^a-z0-9]+"),
-                     lambda x: x != "")
-        ).alias("term"),
+        F.explode(folded_tokens(F.col(text_col), "[^a-z0-9]+"))
+         .alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

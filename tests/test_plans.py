@@ -397,3 +397,42 @@ def test_pii_scrub_zero_shuffle(spark):
     plan = plan_of(pii_scrub(df))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_dup_span_stats_hashes_before_exchange(spark):
+    """Duplicated-span counting must shuffle 64-bit span hashes, never
+    gram strings (no Exchange block may reference the gram column), and
+    must be window-free with partial-aggregating hash aggs."""
+    from lectura.textops import dup_span_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c e"]}))
+    plan = plan_of(dup_span_stats(df, k=3))
+    assert "Window" not in plan, plan
+    exchanges = [b for b in re.split(r"\n\(\d+\) ", plan)
+                 if b.startswith("Exchange")]
+    assert exchanges, plan
+    assert not any("gram#" in e for e in exchanges), plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_tfidf_top_terms_plan_shape(spark):
+    """TF-IDF: one doc-partitioned top-k window (bounded by per-doc
+    vocabulary — no hot key), no cartesian products, and partial
+    aggregation for the tf/df counts."""
+    from lectura.textops import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b a", "b c"]}))
+    plan = plan_of(tfidf_top_terms(df, k=2))
+    assert "CartesianProduct" not in plan, plan
+    windows = [b for b in re.split(r"\n\(\d+\) ", plan)
+               if b.startswith("Window\n")]
+    assert len(windows) == 1, plan
+    assert "windowspecdefinition(id#" in windows[0], plan
+    # rank<=k plans as a partial+final WindowGroupLimit pair: rows
+    # beyond the top-k drop map-side, before the doc-key exchange
+    limits = [b for b in re.split(r"\n\(\d+\) ", plan)
+              if b.startswith("WindowGroupLimit")]
+    assert any("Partial" in b for b in limits), plan
+    assert plan.count("HashAggregate") >= 4, plan
