@@ -74,6 +74,7 @@ OPERATOR_QUERIES = [
     "shard_pack", "dsir_weights", "boilerplate_strip", "line_dedup_global",
     "retry_backoff_c4", "trap_templates_c5", "anchor_text_g3",
     "pii_scrub", "dup_span_stats", "tfidf_top_terms",
+    "lang_id_stopword",
 ]
 
 

@@ -2551,14 +2551,17 @@ def recrawl_sched(spark, sf_dir):
     "pii_scrub",
     r"""
     WITH x AS (
-      SELECT doc_id, substr(text, 1, 80) ||
+      -- coalesce mirrors the operator's NULL-text rule (NULL in ->
+      -- ('', 0, 0, 0) out), so a fixture regen introducing NULL text
+      -- cannot silently diverge the engines
+      SELECT doc_id, coalesce(substr(text, 1, 80) ||
         CASE doc_id % 4
           WHEN 0 THEN ' write to user' || doc_id || '@corp' || doc_id ||
                       '.example.net today'
           WHEN 1 THEN ' hosts 10.0.' || (doc_id % 256) || '.' ||
                       ((doc_id * 7) % 256) || ' and 8.8.8.8'
           WHEN 2 THEN printf(' call +1 (212) 555-%04d now', doc_id % 10000)
-          ELSE ' nothing sensitive here' END AS t
+          ELSE ' nothing sensitive here' END, '') AS t
       FROM documents
     ), s1 AS (
       SELECT doc_id,
@@ -2688,11 +2691,15 @@ def anchor_text_g3(spark, sf_dir):
              '/' || o_orderkey END AS url
       FROM orders
     ), p AS (
-      SELECT lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+      SELECT lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
              regexp_replace(
-               regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
                '[0-9]+', 'N', 'g') AS template
       FROM u
+      WHERE regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) <> ''
     ), tmpl AS (
       SELECT host, template, count(*) AS n_urls FROM p GROUP BY 1, 2
     ), hosts AS (

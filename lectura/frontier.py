@@ -240,14 +240,23 @@ def trap_templates(urls: DataFrame, min_fanout: int = 100,
         .select(
             # full lowercased AUTHORITY (SEMANTICS: host:port is the
             # politeness/trap unit — parse_url('HOST') would strip a
-            # non-default port and merge distinct authorities)
-            F.lower(F.regexp_extract("url", "^[a-z]+://([^/?#]+)", 1))
+            # non-default port and merge distinct authorities); any
+            # case of scheme accepted, rows with no scheme://authority
+            # shape are dropped below (not crawlable URLs)
+            F.lower(F.regexp_extract(
+                "url", "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
              .alias("host"),
+            # try_parse_url: under ANSI (this repo's default) plain
+            # parse_url THROWS on a malformed URL ('http://a/x y/1')
+            # and one bad frontier row would abort the whole pass;
+            # NULL paths (malformed or path-less) template as ''
             F.regexp_replace(
-                F.coalesce(F.expr("parse_url(url, 'PATH')"), F.lit("")),
+                F.coalesce(F.expr("try_parse_url(url, 'PATH')"),
+                           F.lit("")),
                 "[0-9]+", "N",
             ).alias("template"),
         )
+        .filter(F.col("host") != "")
     )
     tmpl = parts.groupBy("host", "template").agg(
         F.count("*").alias("n_urls"))

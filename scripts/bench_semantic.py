@@ -74,11 +74,11 @@ def main() -> None:
                         - 1000) / 1000.0).cast("float"),
         ).alias("embedding"),
     )
-    # rotate over the dup INDEX (vec_id // dup_mod): with the default
-    # dup_mod=10, vec_id % 5 is always 0 for planted ids and every dup
-    # would zero the same dims 0-2 — one band-collision pattern instead
-    # of five
-    lo = ((F.col("vec_id") / dup_mod).cast("long") % 5) * 3
+    # rotate over the dup INDEX (vec_id // dup_mod), stride 13: slice
+    # starts 0/13/26/39/52 touch every 16-dim band of the 4x16 layout
+    # (a *3 stride kept all five slices inside band 0, so bands 1-3
+    # were never the perturbed one)
+    lo = ((F.col("vec_id") / dup_mod).cast("long") % 5) * 13
     dups = base.filter(F.col("vec_id") % dup_mod == 0).select(
         (F.col("vec_id") + n).alias("vec_id"),
         F.transform(

@@ -267,6 +267,11 @@ def test_trap_templates_matches_pure(spark):
         # ship green
         + [f"http://d.example?x={i}" for i in range(12)]
         + ["http://d.example?x=0"] * 2     # duplicates count once
+        # malformed URL must NOT abort the pass under ANSI (try_parse_url:
+        # unparseable path templates as ''), uppercase scheme is accepted,
+        # and a scheme-less string is dropped as not crawlable
+        + ["http://a.example/cal/2026/9/9 trailing junk",
+           "HTTP://E.example/cal/2026/1/1", "not a url at all"]
     )
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {(r.host, r.template): (r.n_urls, r.host_urls, r.fanout_frac)
@@ -276,8 +281,12 @@ def test_trap_templates_matches_pure(spark):
     seen = sorted(set(urls))
     per = Counter()
     for u in seen:
-        m = re.match(r"^[a-z]+://([^/?#]+)(/[^?#]*)?", u)
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)(/[^?#]*)?", u)
+        if not m:
+            continue                      # not crawlable: dropped
         host, path = m.group(1).lower(), m.group(2) or ""
+        if " " in u:
+            path = ""                     # try_parse_url: malformed -> NULL
         per[(host, re.sub(r"[0-9]+", "N", path))] += 1
     hosts = Counter()
     for (h, _), n in per.items():
@@ -288,5 +297,8 @@ def test_trap_templates_matches_pure(spark):
         if n >= 10 and frac >= 0.6:
             want[(h, tpl)] = (n, hosts[h], round(frac, 4))
     assert got == want
-    assert got == {("a.example", "/cal/N/N/N"): (40, 40, 1.0),
+    # a.example's malformed row templates as '' and joins its host
+    # total (41), so the calendar template's frac drops below 1.0 but
+    # stays flagged; the uppercase-scheme host has 1 url (not flagged)
+    assert got == {("a.example", "/cal/N/N/N"): (40, 41, round(40 / 41, 4)),
                    ("d.example", ""): (12, 12, 1.0)}
