@@ -2359,6 +2359,23 @@ def dsir_weights(spark, sf_dir):
     )
 
 
+# Q8 — CCNet-style LM perplexity bucketing: unigram model trained on
+# the same every-7th-doc reference split DSIR uses, vocabulary
+# rank-capped at 24 of the fixture's 31 terms so the cap AND the OOV
+# path both exercise; head/middle/tail tertiles on the 4dp mean
+# log-prob with doc-id tiebreak.
+@q("lm_ppl_buckets", _osql.lm_ppl_sql(max_vocab=24, bench_mod=7))
+def lm_ppl_buckets(spark, sf_dir):
+    from lectura.textops import lm_perplexity
+
+    docs = t(spark, sf_dir, "documents")
+    return lm_perplexity(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        max_vocab=24,
+    )
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

@@ -558,3 +558,45 @@ lab2 AS (
 SELECT component AS keep_doc_id, count(*) AS n_members
 FROM lab2 GROUP BY 1
 """
+
+
+def lm_ppl_sql(max_vocab: int = 24, bench_mod: int = 7) -> str:
+    """CCNet-style unigram-LM quality score oracle (mirrors
+    textops.lm_perplexity): reference split = doc_id % bench_mod == 0,
+    vocabulary rank-capped at `max_vocab` by (count DESC, term ASC),
+    add-one smoothing over (T + V + 1) with a shared OOV probability,
+    per-token log-probs rounded 9dp, per-doc mean 4dp, head/middle/tail
+    by ntile(3) on (avg_logp DESC, doc_id)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t <> '')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, count(*) AS c FROM toks
+  WHERE doc_id % {bench_mod} = 0 GROUP BY 1
+), kept AS (
+  SELECT term, c FROM (
+    SELECT term, c,
+           row_number() OVER (ORDER BY c DESC, term ASC) AS r
+    FROM vocab) WHERE r <= {max_vocab}
+), tot AS (SELECT sum(c) AS t, count(*) AS v FROM kept),
+model AS (
+  SELECT term, round(ln((c + 1.0) / (t + v + 1.0)), 9) AS lp
+  FROM kept, tot
+), oov AS (SELECT round(ln(1.0 / (t + v + 1.0)), 9) AS lp FROM tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(coalesce(m.lp, (SELECT lp FROM oov))) / count(*), 4)
+           + 0.0 AS avg_logp
+  FROM toks LEFT JOIN model m USING (term)
+  WHERE doc_id % {bench_mod} <> 0
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_logp,
+       CASE ntile(3) OVER (ORDER BY avg_logp DESC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+"""

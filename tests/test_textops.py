@@ -729,3 +729,70 @@ def test_tfidf_top_terms_matches_pure(spark):
                    for r in tfidf_top_terms(df.repartition(16), k=3)
                    .collect())
     assert got16 == got
+
+
+def test_lm_perplexity_matches_pure(spark):
+    """Pure-Python CCNet-style unigram LM reference: vocabulary
+    rank-capped (count DESC, term ASC), add-one smoothing over
+    (T + V + 1), shared OOV mass, 9dp per-token / 4dp per-doc rounding,
+    ntile tertiles tie-broken on doc id. NULL and token-free docs emit
+    no row; result invariant at 1 vs 16 partitions; the model join must
+    broadcast."""
+    import math
+    import re
+    from collections import Counter
+
+    from lectura.textops import lm_perplexity
+
+    rows_ref = [(100, "spark crawl crawl frontier"),
+                (101, "spark spark robots")]
+    rows_c = [
+        (1, "spark crawl oovword"),
+        (2, None),
+        (3, "; , !"),
+        (4, "frontier frontier robots spark"),
+        (5, "zzz yyy"),
+        (6, "spark spark spark spark"),
+    ]
+    corpus = spark.createDataFrame(rows_c, "doc_id long, text string")
+    ref = spark.createDataFrame(rows_ref, "doc_id long, text string")
+    out = lm_perplexity(corpus, ref, max_vocab=3)
+    got = sorted((r.doc_id, r.n_tokens, r.avg_logp, r.bucket)
+                 for r in out.collect())
+
+    toks = lambda t: [x for x in re.split(r"[^a-z0-9]+", (t or "").lower())
+                      if x]
+    vocab = Counter(t for _, txt in rows_ref for t in toks(txt))
+    kept = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    t_tot, v_sz = sum(c for _, c in kept), len(kept)
+    lp = {w: round(math.log((c + 1.0) / (t_tot + v_sz + 1.0)), 9)
+          for w, c in kept}
+    lp_oov = round(math.log(1.0 / (t_tot + v_sz + 1.0)), 9)
+    scored = []
+    for i, txt in rows_c:
+        tk = toks(txt)
+        if tk:
+            s = sum(lp.get(w, lp_oov) for w in tk)
+            scored.append((i, len(tk), round(s / len(tk), 4) + 0.0))
+    order = sorted(scored, key=lambda x: (-x[2], x[0]))
+    n, b = len(order), 3
+    names, want = ["head", "middle", "tail"], []
+    pos = 0
+    for bi in range(b):
+        size = n // b + (1 if bi < n % b else 0)
+        for i, nt, avg in order[pos:pos + size]:
+            want.append((i, nt, avg, names[bi]))
+        pos += size
+    assert got == sorted(want)
+    assert {2, 3}.isdisjoint({g[0] for g in got})
+    # OOV really exercised: doc 5 is all-OOV, its mean IS the OOV logp
+    assert dict((g[0], g[2]) for g in got)[5] == round(lp_oov, 4) + 0.0
+
+    got16 = sorted(
+        (r.doc_id, r.n_tokens, r.avg_logp, r.bucket)
+        for r in lm_perplexity(corpus.repartition(16), ref.repartition(16),
+                               max_vocab=3).collect())
+    assert got16 == got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
