@@ -2376,6 +2376,35 @@ def lm_ppl_buckets(spark, sf_dir):
     )
 
 
+# Q9 — C4 heuristic cleaning over a line-structured doc built inside
+# the query (fixture text has no newlines): at sf0.01 the planted
+# rules hit 39 lorem / 46 brace / 30 javascript / 100 policy docs,
+# 250 evens carry a second kept line, and 7 short docs exercise the
+# empty-slice path (counts verified in DuckDB before wiring).
+@q("c4_rules_q9", _osql.c4_rules_sql(min_words=3, min_kept_lines=2))
+def c4_rules_q9(spark, sf_dir):
+    from lectura.textops import c4_quality_rules
+
+    def m(k):
+        return F.col("doc_id") % k == 0
+
+    text2 = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.when(m(2), F.concat(F.substring("text", 61, 50), F.lit(" ok?")))
+         .otherwise(F.substring("text", 61, 50)),
+        F.lit("buy now."),
+        F.when(m(13), F.lit("lorem ipsum dolor sit amet.")),
+        F.when(m(11), F.lit("var config = { x: 1 };")),
+        F.when(m(17), F.lit("please enable javascript to continue reading.")),
+        F.when(m(5),
+               F.lit("we use cookies and this privacy policy applies here.")),
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id",
+                                                text2.alias("text"))
+    return c4_quality_rules(docs, min_words=3, min_kept_lines=2)
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

@@ -600,3 +600,50 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_logp,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM scored
 """
+
+
+def c4_rules_sql(min_words: int = 3, min_kept_lines: int = 2) -> str:
+    """C4 heuristic-cleaning oracle (mirrors textops.c4_quality_rules)
+    over a line-structured doc CONSTRUCTED inside the query (the
+    sitemap_parse_s11 pattern — fixture text has no newlines): line 1
+    always terminal-punctuated, line 2 punctuated on even doc ids,
+    'buy now.' trips the word-count rule, and doc_id % {13,11,17,5}
+    plant lorem / brace / javascript / policy lines."""
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      substr(text, 1, 60) || '.',
+      CASE WHEN doc_id % 2 = 0 THEN substr(text, 61, 50) || ' ok?'
+           ELSE substr(text, 61, 50) END,
+      'buy now.',
+      CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+      CASE WHEN doc_id % 11 = 0 THEN 'var config = {{ x: 1 }};' END,
+      CASE WHEN doc_id % 17 = 0
+           THEN 'please enable javascript to continue reading.' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'we use cookies and this privacy policy applies here.' END
+    ) AS t2
+  FROM documents
+), kept AS (
+  SELECT doc_id, t2, string_split(t2, chr(10)) AS ls,
+         list_filter(string_split(t2, chr(10)), l ->
+           regexp_matches(trim(l), '[.!?"]$')
+           AND len(string_split_regex(trim(l), '\\s+')) >= {min_words}
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT regexp_matches(lower(l),
+                                  'terms of use|privacy policy|cookie')
+         ) AS kl
+  FROM built
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept_lines,
+       contains(lower(t2), 'lorem ipsum') AS has_lorem,
+       contains(t2, '{{') AS has_brace,
+       (len(kl) >= {min_kept_lines}
+        AND NOT contains(lower(t2), 'lorem ipsum')
+        AND NOT contains(t2, '{{')) AS keep,
+       array_to_string(kl, chr(10)) AS text_clean
+FROM kept
+"""

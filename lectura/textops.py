@@ -746,6 +746,55 @@ def lm_perplexity(corpus: DataFrame, reference: DataFrame,
     )
 
 
+C4_POLICY_RX = "terms of use|privacy policy|cookie"
+
+
+def c4_quality_rules(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_words: int = 3,
+                     min_kept_lines: int = 2) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning…", §2.2 — the C4 line/document rules):
+    a LINE survives iff it ends in terminal punctuation ([.!?"] after
+    trim), has >= ``min_words`` whitespace tokens, and mentions neither
+    'javascript' nor a boilerplate-policy phrase (terms of use /
+    privacy policy / cookie); a DOCUMENT is kept iff >=
+    ``min_kept_lines`` lines survive and the raw text contains neither
+    'lorem ipsum' nor '{'. Emits per-doc rule evidence plus the cleaned
+    text (surviving lines re-joined) so downstream gates can audit why
+    a doc dropped. NULL text degrades to one empty (dropped) line.
+    Returns (id, n_lines, n_kept_lines, has_lorem, has_brace, keep,
+    text_clean).
+
+    Scale shape: zero shuffle — split / higher-order filter /
+    array_join are JVM scan-stage expressions (same discipline as
+    pii_scrub); text never leaves its input partition and no UDF runs."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+
+    def _kept(line):
+        lt = F.trim(line)
+        return (
+            lt.rlike('[.!?"]$')
+            & (F.size(F.split(lt, r"\s+")) >= min_words)
+            & ~F.lower(line).rlike("javascript")
+            & ~F.lower(line).rlike(C4_POLICY_RX)
+        )
+
+    kept = F.filter(lines, _kept)
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_brace)
+            .alias("keep"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Top-k TF-IDF terms per document (keyword extraction for curation

@@ -796,3 +796,56 @@ def test_lm_perplexity_matches_pure(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_c4_quality_rules_matches_pure(spark):
+    """Pure-Python C4 line/doc rules: terminal punct + word count +
+    javascript/policy line drops, lorem/brace doc flags; NULL text is
+    one dropped line; the operator must stay scan-stage (no Exchange)."""
+    import re
+
+    from lectura.textops import C4_POLICY_RX, c4_quality_rules
+
+    rows = [
+        (1, "a good long sentence here.\nshort one.\nno punct line at all"),
+        (2, "lorem ipsum dolor sit amet.\nanother fine sentence right here!"),
+        (3, 'var x = { a: 1 };\nthis quoted line should survive fine."'),
+        (4, "please enable javascript to continue.\nreal content line one."
+            "\nreal content line two?"),
+        (5, "read our privacy policy for details.\nwe use cookie banners."
+            "\ncontent sentence that is kept."),
+        (6, None),
+        (7, "   trimmed line with trailing spaces.   \nsecond real line."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_quality_rules(df, min_words=3, min_kept_lines=2)
+    got = sorted(
+        (r.doc_id, r.n_lines, r.n_kept_lines, r.has_lorem, r.has_brace,
+         r.keep, r.text_clean) for r in out.collect())
+
+    want = []
+    for i, txt in rows:
+        text = txt or ""
+        lines = text.split("\n")
+        kept = [
+            l for l in lines
+            if re.search(r'[.!?"]$', l.strip())
+            and len(re.split(r"\s+", l.strip())) >= 3
+            and "javascript" not in l.lower()
+            and not re.search(C4_POLICY_RX, l.lower())
+        ]
+        lorem, brace = "lorem ipsum" in text.lower(), "{" in text
+        want.append((i, len(lines), len(kept), lorem, brace,
+                     len(kept) >= 2 and not lorem and not brace,
+                     "\n".join(kept)))
+    assert got == sorted(want)
+    # each rule individually exercised by the fixture
+    by_id = {g[0]: g for g in got}
+    assert by_id[2][3] and not by_id[2][5]          # lorem gate
+    assert by_id[3][4] and not by_id[3][5]          # brace gate
+    assert by_id[4][2] == 2 and by_id[4][5]         # javascript line dropped
+    assert by_id[5][2] == 1 and not by_id[5][5]     # policy lines dropped
+    assert by_id[6] == (6, 1, 0, False, False, False, "")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
