@@ -2405,6 +2405,19 @@ def c4_rules_q9(spark, sf_dir):
     return c4_quality_rules(docs, min_words=3, min_kept_lines=2)
 
 
+# C6 — domain-level quality aggregation (RefinedWeb-style): one row
+# per source with quality means, low-quality share, keep flag, and a
+# head/middle/tail tertile; per-source mean ratios at sf0.01 spread
+# 0.039–0.08 around the 0.05 doc threshold (verified in DuckDB).
+@q("domain_quality_c6",
+   _osql.domain_quality_sql(low_q_threshold=0.05, max_low_frac=0.5))
+def domain_quality_c6(spark, sf_dir):
+    from lectura.textops import domain_quality_agg
+
+    return domain_quality_agg(t(spark, sf_dir, "documents"),
+                              low_q_threshold=0.05, max_low_frac=0.5)
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

@@ -647,3 +647,39 @@ SELECT doc_id,
        array_to_string(kl, chr(10)) AS text_clean
 FROM kept
 """
+
+
+def domain_quality_sql(low_q_threshold: float = 0.05,
+                       max_low_frac: float = 0.5) -> str:
+    """Domain-level quality-aggregation oracle (mirrors
+    textops.domain_quality_agg): per-doc stopword ratio pre-rounded to
+    4dp (NULL for token-free docs), per-domain means/fractions to 4dp,
+    keep = low_q_frac <= threshold with NULL -> false, tertile bucket
+    on (mean_stop_ratio DESC NULLS LAST, source)."""
+    return f"""
+WITH w AS (
+  SELECT source,
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+              THEN round(CAST(len(regexp_extract_all(text,
+                     '\\b(the|and|of|to|a|in|is|for|on|with)\\b'))
+                     AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+')), 4)
+         END AS ratio
+  FROM documents
+), agg AS (
+  SELECT source, count(*) AS n_docs, count(ratio) AS n_scored,
+         round(avg(ratio), 4) AS mean_stop_ratio,
+         CASE WHEN count(ratio) > 0 THEN
+           round(CAST(sum(CASE WHEN ratio < {low_q_threshold} THEN 1
+                               ELSE 0 END) AS DOUBLE) / count(ratio), 4)
+         END AS low_q_frac
+  FROM w GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_scored AS BIGINT) AS n_scored, mean_stop_ratio, low_q_frac,
+       coalesce(low_q_frac <= {max_low_frac}, false) AS keep,
+       CASE ntile(3) OVER (ORDER BY mean_stop_ratio DESC NULLS LAST,
+                           source ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM agg
+"""

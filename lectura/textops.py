@@ -746,6 +746,74 @@ def lm_perplexity(corpus: DataFrame, reference: DataFrame,
     )
 
 
+def domain_quality_agg(df: DataFrame, source_col: str = "source",
+                       text_col: str = "text",
+                       low_q_threshold: float = 0.05,
+                       max_low_frac: float = 0.5,
+                       buckets: int = 3) -> DataFrame:
+    """Domain-level quality curation (the RefinedWeb / Dolma pattern —
+    Penedo et al. 2023 gate whole domains, not just documents, because
+    spam/SEO farms are domain-shaped): aggregate per-doc quality
+    signals to ONE row per domain, flag domains whose share of
+    low-quality docs (stopword ratio < ``low_q_threshold``, the same
+    _STOP_RX signal the doc-level scorer uses) exceeds
+    ``max_low_frac``, and tertile-bucket domains by mean stopword
+    ratio (prose-like domains rank head). Token-free/NULL docs count
+    in n_docs but not in the quality means; a domain with zero scored
+    docs gets NULL means and keep=false. Per-doc ratios are pre-rounded
+    to 4dp, aggregates to 4dp, ties broken on the domain key. Returns
+    (source, n_docs, n_scored, mean_stop_ratio, low_q_frac, keep,
+    bucket).
+
+    Scale shape: the per-doc signals are scan-stage JVM expressions;
+    the ONLY wide operator over doc-sized data is the partial-
+    aggregating groupBy on the domain key (map-side combine collapses
+    each task to <= |domains| rows); the ntile window runs over one
+    slim row per domain — at web scale (~10^8 hosts) swap it for
+    sampled thresholds, the same note as lm_perplexity."""
+    from pyspark.sql import Window
+
+    w = words(F.col(text_col))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.when(
+            F.size(w) > 0,
+            F.round(_n_stopwords(text_col).cast("double") / F.size(w), 4),
+        ).alias("ratio"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("ratio").alias("n_scored"),
+        F.round(F.avg("ratio"), 4).alias("mean_stop_ratio"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("ratio") < low_q_threshold, 1)
+                       .otherwise(0)).cast("double"),
+                F.count("ratio").cast("double")),
+            4,
+        ).alias("low_q_frac"),
+    )
+    nt = F.ntile(buckets).over(
+        Window.orderBy(F.col("mean_stop_ratio").desc_nulls_last(),
+                       F.asc("source")))
+    name = (
+        F.when(F.col("_nt") == 1, "head")
+         .when(F.col("_nt") == 2, "middle")
+         .otherwise("tail")
+        if buckets == 3
+        else F.concat(F.lit("b"), F.col("_nt").cast("string"))
+    )
+    return (
+        agg.withColumn("_nt", nt)
+        .select(
+            "source", "n_docs", "n_scored", "mean_stop_ratio", "low_q_frac",
+            F.coalesce(F.col("low_q_frac") <= max_low_frac, F.lit(False))
+             .alias("keep"),
+            name.alias("bucket"),
+        )
+    )
+
+
 C4_POLICY_RX = "terms of use|privacy policy|cookie"
 
 

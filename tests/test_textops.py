@@ -849,3 +849,67 @@ def test_c4_quality_rules_matches_pure(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_domain_quality_agg_matches_pure(spark):
+    """Pure-Python domain aggregation: NULL/token-free docs count in
+    n_docs only; an all-NULL domain gets NULL means and keep=false;
+    ntile ties break on source; partial aggregation must appear in the
+    plan (skew-proof groupBy, not a window over docs)."""
+    import re
+
+    from lectura.textops import STOPWORDS, domain_quality_agg
+
+    rows = [
+        (1, "a", "the cat and the dog in the fog"),      # stopword-rich
+        (2, "a", "alpha beta gamma delta"),              # zero stopwords
+        (3, "b", "of mice and men for fun"),
+        (4, "b", None),                                   # unscored
+        (5, "c", "is it for real on the web with a to"),
+        (6, "d", None),                                   # domain all-NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r.source, r.n_docs, r.n_scored, r.mean_stop_ratio, r.low_q_frac,
+         r.keep, r.bucket)
+        for r in domain_quality_agg(df, low_q_threshold=0.3,
+                                    max_low_frac=0.5).collect())
+
+    stats = {}
+    for _, src, txt in rows:
+        d = stats.setdefault(src, {"n": 0, "ratios": []})
+        d["n"] += 1
+        if txt is not None:
+            ws = re.split(r"\s+", txt.strip())
+            if len(ws) > 0:
+                n_stop = len(re.findall(
+                    r"\b(" + "|".join(STOPWORDS) + r")\b", txt))
+                d["ratios"].append(round(n_stop / len(ws), 4))
+    agg = {}
+    for src, d in stats.items():
+        rs = d["ratios"]
+        mean = round(sum(rs) / len(rs), 4) if rs else None
+        low = round(sum(1 for r in rs if r < 0.3) / len(rs), 4) if rs else None
+        agg[src] = (d["n"], len(rs), mean, low,
+                    bool(low is not None and low <= 0.5))
+    order = sorted(agg, key=lambda s: (-(agg[s][2] if agg[s][2] is not None
+                                         else float("-inf")), s))
+    # NULLS LAST under DESC: push None-mean domains to the end
+    order = ([s for s in order if agg[s][2] is not None]
+             + sorted(s for s in order if agg[s][2] is None))
+    names, n, b = ["head", "middle", "tail"], len(order), 3
+    bucket, pos = {}, 0
+    for bi in range(b):
+        size = n // b + (1 if bi < n % b else 0)
+        for s in order[pos:pos + size]:
+            bucket[s] = names[bi]
+        pos += size
+    want = sorted((s, *agg[s][:4], agg[s][4], bucket[s]) for s in agg)
+    assert got == want
+    assert dict((g[0], g[5]) for g in got)["d"] is False  # all-NULL domain
+
+    out = domain_quality_agg(df.repartition(16), low_q_threshold=0.3)
+    assert sorted((r.source, r.bucket) for r in out.collect()) == sorted(
+        (g[0], g[6]) for g in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
