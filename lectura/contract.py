@@ -1210,6 +1210,29 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+# PQ ANN recall@k contract — third ANN family (compressed codes; LSH is
+# data-independent, IVF partition-prunes, PQ shrinks the scanned bytes).
+# Codebooks share kmeans_centroids' determinism recipe (hash-ordered
+# init, 9dp-rounded means), so codes and recall are reproducible.
+# Measured recall at m=16/nc=16/rerank=200: 1.0 at sf0.001 and sf0.01,
+# 0.9 at sf0.1 — threshold 0.6 holds at every provided sf.
+@q("ann_pq_topk", "SELECT 10 AS k, TRUE AS recall_ok")
+def ann_pq_topk(spark, sf_dir):
+    from lectura.vectorops import brute_force_topk, pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0)
+                .select("embedding").head()[0])
+    approx = pq_topk(emb, qvec, k=10, m=16, n_centroids=16, rerank=200)
+    exact = brute_force_topk(emb, qvec, k=10)
+    return (
+        approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.lit(10).alias("k"),
+                (F.col("n_hits") >= 6).alias("recall_ok"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph operators over the document-similarity graph (graphops.py):
 # dup-cluster grouping (connected components) and centrality scoring

@@ -267,6 +267,160 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def _sqdist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_sub(sub_col, cents: list[list[float]]) -> F.Column:
+    """Argmin-L2 code id over one subspace's codebook, all JVM-side:
+    least() over (sqdist, cid) structs — ties break toward the smaller
+    cid, deterministically (the L2 mirror of _nearest_centroid)."""
+    entries = []
+    for ci, c in enumerate(cents):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(F.struct(_sqdist(sub_col, clit).alias("d"),
+                                F.lit(ci).alias("cid")))
+    picked = entries[0] if len(entries) == 1 else F.least(*entries)
+    return picked.cast("struct<d:double,cid:int>").getField("cid")
+
+
+def _sub_slice(vec_col, mi: int, d_sub: int):
+    return F.slice(F.col(vec_col), mi * d_sub + 1, d_sub)
+
+
+def pq_codebooks(df: DataFrame, m: int = 4, n_centroids: int = 16,
+                 n_iters: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 train_mod: int = 1) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector
+    space splits into `m` contiguous subspaces of dim/m coordinates;
+    each subspace gets its own `n_centroids`-cell L2 k-means codebook.
+    Same determinism recipe as kmeans_centroids: init from the
+    `n_centroids` rows with smallest xxhash64(id), means rounded to 9dp
+    per iteration, empty cells keep their previous centroid — codebooks
+    (hence codes, hence recall) are parallelism-invariant.
+
+    Scale shape: ALL m subspaces train in one pass per Lloyd iteration —
+    rows explode to (sub, cid, pos, x) cells and a single
+    groupBy(sub, cid, pos).avg hash agg produces every mean; only
+    m × n_centroids × dim/m doubles (== dim × n_centroids) reach the
+    driver per iteration. `train_mod` hash-samples the training set the
+    same way the IVF quantizer does."""
+    dim = len(df.select(vec_col).head()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+
+    train = df.select(id_col, vec_col)
+    if train_mod > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(id_col), F.lit(train_mod)) == 0)
+    init_rows = (
+        train.select(F.xxhash64(id_col).alias("_h"), vec_col)
+        .orderBy("_h").limit(n_centroids).collect()
+    )
+    books = [
+        [[float(x) for x in r[vec_col][mi * d_sub:(mi + 1) * d_sub]]
+         for r in init_rows]
+        for mi in range(m)
+    ]
+    for _ in range(n_iters):
+        subs = train.select(
+            F.posexplode(F.array(
+                *[_sub_slice(vec_col, mi, d_sub) for mi in range(m)]
+            )).alias("sub", "sv"))
+        assigned = subs.select(
+            "sub",
+            # one when-branch per subspace: each sub row scores only
+            # against its own codebook
+            F.coalesce(*[
+                F.when(F.col("sub") == mi, _nearest_sub(F.col("sv"),
+                                                        books[mi]))
+                for mi in range(m)
+            ]).alias("cid"),
+            F.posexplode("sv").alias("pos", "x"),
+        )
+        cells = (
+            assigned.groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        means: dict[tuple[int, int], list[float]] = {}
+        for r in cells:
+            means.setdefault((int(r["sub"]), int(r["cid"])),
+                             [0.0] * d_sub)[int(r["pos"])] = float(r["mu"])
+        books = [
+            [
+                [round(x, 9) for x in means[(mi, ci)]]
+                if (mi, ci) in means else books[mi][ci]
+                for ci in range(n_centroids)
+            ]
+            for mi in range(m)
+        ]
+    return books
+
+
+def pq_encode(df: DataFrame, books: list[list[list[float]]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Rows tagged with their `m`-byte PQ code (`array<int>`, one code
+    id per subspace). At scale this is the persisted compressed index:
+    dim floats shrink to m small ints per row (256× at dim=64, m=4,
+    fp32), and the code table alone — not the vectors — serves ADC
+    scans. Pure scan-stage JVM expressions, no shuffle, no Python."""
+    d_sub = len(books[0][0])
+    codes = F.array(*[
+        _nearest_sub(_sub_slice(vec_col, mi, d_sub), books[mi])
+        for mi in range(len(books))
+    ])
+    return df.withColumn("pq_code", codes)
+
+
+def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+            m: int = 4, n_centroids: int = 16, n_iters: int = 3,
+            rerank: int = 50, id_col: str = "vec_id",
+            vec_col: str = "embedding", train_mod: int = 1) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance
+    computation (ADC): the query stays exact; each row's distance is
+    approximated as Σ_sub ||q_sub − codebook[sub][code]||², which is a
+    per-subspace table lookup — the driver precomputes the m ×
+    n_centroids distance table (numpy, tiny) and the scan evaluates
+    element_at(literal_table, code) sums, pure JVM. Top `rerank`
+    candidates by ADC (TakeOrderedAndProject — distributed partial
+    top-k), exact cosine rerank on those. On unit-norm embeddings L2 is
+    monotone in cosine, so ADC ranks cosine-consistently. Completes the
+    ANN family: LSH (data-independent), IVF (partition-pruned lists),
+    PQ (compressed codes — the memory-bound regime at 10^10 vectors)."""
+    books = pq_codebooks(df, m, n_centroids, n_iters, id_col, vec_col,
+                         train_mod)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    d_sub = len(books[0][0])
+    # adc[mi][ci] = ||q_sub − centroid||², rounded like the codebooks so
+    # the ranking is reproducible from the persisted artifacts
+    adc = [
+        [round(float(((q[mi * d_sub:(mi + 1) * d_sub]
+                       - np.asarray(c)) ** 2).sum()), 9)
+         for c in books[mi]]
+        for mi in range(len(books))
+    ]
+    score = None
+    for mi, row in enumerate(adc):
+        tbl = F.array(*[F.lit(v) for v in row])
+        term = F.element_at(tbl, F.element_at("pq_code", mi + 1) + 1)
+        score = term if score is None else score + term
+    cand = (
+        pq_encode(df, books, vec_col)
+        .withColumn("adc", F.round(score, 9))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def sign_bands(df: DataFrame, n_bands: int = 8, band_bits: int = 8,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

@@ -235,6 +235,63 @@ def test_ann_ivf_recall_planted_neighbors(spark):
     assert recall >= 0.8, (recall, exact, approx)
 
 
+def test_ann_pq_recall_planted_neighbors(spark):
+    """Same planted-neighbor setup as the LSH/IVF tests: PQ codes + ADC
+    candidate scan + exact rerank must recover ≥80% of the brute-force
+    top-10 — the planted near-duplicates quantize to the query's codes."""
+    import random
+
+    import numpy as np
+
+    from lectura.vectorops import brute_force_topk, pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = np.asarray(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rng = random.Random(11)
+    planted = []
+    for i in range(15):
+        noise = np.asarray([rng.gauss(0, 0.02) for _ in qvec], dtype=np.float32)
+        planted.append((10_000 + i, (qvec + noise).astype(np.float32).tolist(), -1))
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    exact = [r.vec_id for r in brute_force_topk(aug, list(qvec), k=10).collect()]
+    approx = [r.vec_id for r in
+              pq_topk(aug, list(qvec), k=10, m=8, n_centroids=16,
+                      rerank=100).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_pq_codes_shape_and_parallelism_invariance(spark):
+    """Every row gets exactly m code ids, each in [0, n_centroids); the
+    code assignment is identical at 1 partition and 16 partitions (the
+    determinism contract behind a persisted compressed index)."""
+    from lectura.vectorops import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_codebooks(emb, m=8, n_centroids=16, n_iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes1 = {r.vec_id: list(r.pq_code)
+              for r in pq_encode(emb.coalesce(1), books).collect()}
+    codes16 = {r.vec_id: list(r.pq_code)
+               for r in pq_encode(emb.repartition(16), books).collect()}
+    assert codes1 == codes16
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in codes1.values())
+
+
+def test_pq_codebooks_deterministic_across_partitioning(spark):
+    """Lloyd iterations aggregate via 9dp-rounded means — the trained
+    codebooks must not depend on input partitioning."""
+    from lectura.vectorops import pq_codebooks
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = pq_codebooks(emb.coalesce(1), m=4, n_centroids=8, n_iters=2)
+    b2 = pq_codebooks(emb.repartition(16), m=4, n_centroids=8, n_iters=2)
+    assert b1 == b2
+
+
 def test_ivf_index_partitions_cover_all_rows(spark):
     """Every vector lands in exactly one inverted list; cells cover the
     set (the persisted-index invariant behind partition-pruned probes)."""
