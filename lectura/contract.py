@@ -2441,6 +2441,46 @@ def domain_quality_c6(spark, sf_dir):
                               low_q_threshold=0.05, max_low_frac=0.5)
 
 
+# Q10 — Gopher document-level quality gates over planted docs: seven
+# mutually-exclusive doc_id classes each exercise one rule (empty /
+# symbol-spam / too-short / ellipsis-lines / all-bullet / missing
+# required stopwords / clean); at sf0.01 only the clean class keeps
+# (184 of 500; per-class signal means verified in DuckDB first).
+@q("gopher_rules_q10", _osql.gopher_rules_sql(min_words=10, max_words=500))
+def gopher_rules_q10(spark, sf_dir):
+    from lectura.textops import gopher_rules
+
+    def m(k):
+        return F.col("doc_id") % k == 0
+
+    text2 = (
+        F.when(m(19), F.lit(""))
+        .when(m(13), F.trim(F.repeat(F.lit("data11 ### "), 10)))
+        .when(m(11), F.substring("text", 1, 30))
+        .when(m(7), F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 100), F.lit(" see more...")),
+            F.concat(F.substring("text", 101, 100), F.lit(" read on...")),
+            F.lit("the data and that batch have with luck to be of use."),
+        ))
+        .when(m(5), F.concat_ws(
+            "\n",
+            F.concat(F.lit("- "), F.substring("text", 1, 80), F.lit(".")),
+            F.lit("- the data and that batch."),
+            F.lit("- have with luck to be of use."),
+        ))
+        .when(m(3), F.col("text"))
+        .otherwise(F.concat(
+            F.col("text"),
+            F.lit(" the data and that batch have run with care to be"
+                  " of use."),
+        ))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id",
+                                                text2.alias("text"))
+    return gopher_rules(docs, min_words=10, max_words=500)
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

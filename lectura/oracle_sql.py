@@ -683,3 +683,81 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM agg
 """
+
+
+def gopher_rules_sql(min_words: int = 10, max_words: int = 500,
+                     min_mean_len: float = 3.0,
+                     max_mean_len: float = 10.0,
+                     max_symbol_ratio: float = 0.1,
+                     max_bullet_frac: float = 0.9,
+                     max_ellipsis_frac: float = 0.3,
+                     min_alpha_frac: float = 0.8,
+                     min_required_stops: int = 2) -> str:
+    """Gopher non-repetition quality-gate oracle (mirrors
+    textops.gopher_rules) over planted docs CONSTRUCTED inside the
+    query: mutually-exclusive doc_id classes exercise every rule —
+    %19 empty, %13 symbol/number spam, %11 too short, %7 ellipsis
+    lines, %5 all-bullet lines, %3 missing required stopwords, else
+    clean (verified in DuckDB: only the clean class keeps)."""
+    req = " + ".join(
+        "CASE WHEN regexp_matches(lower(t2), '\\b" + w + "\\b') "
+        "THEN 1 ELSE 0 END"
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    return f"""
+WITH built AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 19 = 0 THEN ''
+    WHEN doc_id % 13 = 0 THEN trim(repeat('data11 ### ', 10))
+    WHEN doc_id % 11 = 0 THEN substr(text, 1, 30)
+    WHEN doc_id % 7 = 0 THEN concat_ws(chr(10),
+      substr(text, 1, 100) || ' see more...',
+      substr(text, 101, 100) || ' read on...',
+      'the data and that batch have with luck to be of use.')
+    WHEN doc_id % 5 = 0 THEN concat_ws(chr(10),
+      '- ' || substr(text, 1, 80) || '.',
+      '- the data and that batch.',
+      '- have with luck to be of use.')
+    WHEN doc_id % 3 = 0 THEN text
+    ELSE text || ' the data and that batch have run with care to be of use.'
+    END AS t2
+  FROM documents
+), sig AS (
+  SELECT doc_id, t2,
+    list_filter(string_split_regex(trim(t2), '\\s+'), w -> w <> '') AS ws,
+    string_split(t2, chr(10)) AS ls
+  FROM built
+), m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CASE WHEN len(ws) > 0 THEN
+      round(CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+                 AS DOUBLE) / len(ws), 4) END AS mean_word_len,
+    CASE WHEN len(ws) > 0 THEN
+      round(CAST((len(t2) - len(replace(t2, '#', '')))
+                 + (len(t2) - len(replace(t2, '...', ''))) // 3
+                 AS DOUBLE) / len(ws), 4) END AS symbol_ratio,
+    round(CAST(len(list_filter(ls, l ->
+            regexp_matches(trim(l), '^(-|\\*|•) '))) AS DOUBLE)
+          / len(ls), 4) AS bullet_frac,
+    round(CAST(len(list_filter(ls, l ->
+            regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+          / len(ls), 4) AS ellipsis_frac,
+    CASE WHEN len(ws) > 0 THEN
+      round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                 AS DOUBLE) / len(ws), 4) END AS alpha_frac,
+    CAST(({req}) AS BIGINT) AS n_required_stops
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_required_stops,
+       coalesce(n_words >= {min_words} AND n_words <= {max_words}
+         AND mean_word_len >= {min_mean_len}
+         AND mean_word_len <= {max_mean_len}
+         AND symbol_ratio <= {max_symbol_ratio}
+         AND bullet_frac <= {max_bullet_frac}
+         AND ellipsis_frac <= {max_ellipsis_frac}
+         AND alpha_frac >= {min_alpha_frac}
+         AND n_required_stops >= {min_required_stops}, false) AS keep
+FROM m
+"""

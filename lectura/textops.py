@@ -911,3 +911,94 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
         .select(F.col("id").alias(id_col), "term", "score",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+GOPHER_REQUIRED = "the be to of and that have with".split()
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000, min_mean_len: float = 3.0,
+                 max_mean_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_required_stops: int = 2) -> DataFrame:
+    """Gopher document-level quality gates (Rae et al. 2021, "Scaling
+    Language Models: … Gopher", Appendix A1.1 — the non-repetition
+    rules; repetition_stats covers A1.1's dup-gram half): a document is
+    kept iff word count lies in [min_words, max_words], mean word
+    length in [min_mean_len, max_mean_len], the '#'/'...'
+    symbol-to-word ratio <= max_symbol_ratio, at most
+    max_bullet_frac of lines start with a bullet ('-', '*', '•'), at
+    most max_ellipsis_frac of lines end with '...'/'…', at least
+    min_alpha_frac of words contain an alphabetic character, and at
+    least min_required_stops of the required stopword set {the, be,
+    to, of, and, that, have, with} appear as whole words. All ratios
+    are pre-rounded to 4dp and the gates compare the ROUNDED values,
+    so keep is engine- and partitioning-invariant at threshold
+    boundaries. NULL/empty text scores n_words=0, NULL ratios, and
+    keep=false. Returns (id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_required_stops, keep).
+
+    Scale shape: zero shuffle — every signal is a scan-stage JVM
+    split / higher-order filter / aggregate expression over the doc's
+    own words and lines (the c4_quality_rules discipline); text never
+    leaves its input partition and no UDF runs."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+    n_words = F.size(ws)
+    sum_len = F.aggregate(ws, F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x))
+    mean_len = F.when(
+        n_words > 0,
+        F.round(sum_len.cast("double") / n_words, 4))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"),
+                                                 F.lit("")))
+    n_ell = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."),
+                                             F.lit("")))) / 3)
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ell).cast("double") / n_words, 4))
+    lines = F.split(text, "\n")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^(-|\*|•) ")))
+        .cast("double") / F.size(lines), 4)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines,
+                        lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+        .cast("double") / F.size(lines), 4)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+            .cast("double") / n_words, 4))
+    low = F.lower(text)
+    n_req = None
+    for w in GOPHER_REQUIRED:
+        hit = low.rlike(rf"\b{w}\b").cast("int")
+        n_req = hit if n_req is None else n_req + hit
+    cols = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "n_required_stops": n_req.cast("long"),
+    }
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_required_stops") >= min_required_stops)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))

@@ -970,3 +970,90 @@ def test_domain_quality_agg_matches_pure(spark):
         (g[0], g[6]) for g in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_gopher_rules_matches_pure(spark):
+    """Pure-Python Gopher gates: each rule individually attested by a
+    planted doc (short, long-words, symbol spam, bullets, ellipsis
+    lines, non-alpha words, missing required stopwords); NULL text
+    scores n_words=0 / keep=false; the operator stays scan-stage."""
+    import math
+    import re
+
+    from lectura.textops import GOPHER_REQUIRED, gopher_rules
+
+    ok = ("the data and that batch have run with care to be of use"
+          " for every line here")
+    rows = [
+        (1, ok + " plus a few more plain words to pass"),       # keep
+        (2, "too few words"),                                    # min_words
+        (3, " ".join(["extraordinarily"] * 20)),                 # mean len
+        (4, ok + " ## # ## # ## # ## # ## # ## #"),              # symbols
+        (5, "\n".join(["- " + ok, "- " + ok, "• " + ok])),       # bullets
+        (6, "\n".join([ok + "...", ok + "…", ok + "..."])),      # ellipsis
+        (7, ok + " " + " ".join(["1234"] * 30)),                 # alpha
+        (8, "plain words with no required stopword hits at all"
+            " beyond this with clause"),                         # stops < 2
+        (9, None),                                               # NULL
+        (10, ""),                                                # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_rules(df, min_words=10, max_words=500)
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+
+    for i, txt in rows:
+        text = txt or ""
+        ws = [w for w in re.split(r"\s+", text.strip()) if w]
+        nw = len(ws)
+        lines = text.split("\n")
+        n_sym = text.count("#") + (len(text)
+                                   - len(text.replace("...", ""))) // 3
+        want = {
+            "doc_id": i,
+            "n_words": nw,
+            "mean_word_len": round(sum(len(w) for w in ws) / nw, 4)
+                             if nw else None,
+            "symbol_ratio": round(n_sym / nw, 4) if nw else None,
+            "bullet_frac": round(
+                sum(1 for l in lines
+                    if re.match(r"^(-|\*|•) ", l.strip())) / len(lines), 4),
+            "ellipsis_frac": round(
+                sum(1 for l in lines
+                    if re.search(r"(\.\.\.|…)$", l.strip())) / len(lines),
+                4),
+            "alpha_frac": round(
+                sum(1 for w in ws if re.search("[A-Za-z]", w)) / nw, 4)
+                if nw else None,
+            "n_required_stops": sum(
+                1 for w in GOPHER_REQUIRED
+                if re.search(rf"\b{w}\b", text.lower())),
+        }
+        want["keep"] = bool(
+            10 <= nw <= 500
+            and want["mean_word_len"] is not None
+            and 3.0 <= want["mean_word_len"] <= 10.0
+            and want["symbol_ratio"] <= 0.1
+            and want["bullet_frac"] <= 0.9
+            and want["ellipsis_frac"] <= 0.3
+            and want["alpha_frac"] >= 0.8
+            and want["n_required_stops"] >= 2)
+        g = got[i]
+        for k, v in want.items():
+            gv = g[k]
+            if isinstance(v, float) and gv is not None:
+                assert math.isclose(gv, v, abs_tol=1e-9), (i, k, gv, v)
+            else:
+                assert gv == v, (i, k, gv, v)
+    # exactly one keeper, and each failure class fails its own rule
+    assert [i for i in got if got[i]["keep"]] == [1]
+    assert got[2]["n_words"] < 10
+    assert got[3]["mean_word_len"] > 10
+    assert got[4]["symbol_ratio"] > 0.1
+    assert got[5]["bullet_frac"] > 0.9
+    assert got[6]["ellipsis_frac"] > 0.3
+    assert got[7]["alpha_frac"] < 0.8
+    assert got[8]["n_required_stops"] < 2
+    assert got[9]["n_words"] == 0 and got[9]["keep"] is False
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
