@@ -2864,6 +2864,79 @@ def trap_templates_c5(spark, sf_dir):
                           min_fanout=30, min_frac=0.5)
 
 
+# C7 — UT1-style domain-blocklist filtering: URLs from orders (every
+# 97th malformed, every 89th carrying a non-default port), blocklist =
+# nation-derived domains (n0/n3/…/n24.example) plus two subdomain
+# literals; sf0.01 plants 4490 blocked of 15000, 155 host='' rows kept
+# unblocked, and sub2.n3.example attests longest-match-wins over its
+# n3.example parent (all counts verified in DuckDB first).
+@q(
+    "blocklist_ut1_c7",
+    """
+    WITH u AS (
+      SELECT CASE
+        WHEN o_orderkey % 97 = 0 THEN 'not a url'
+        WHEN o_orderkey % 89 = 0
+        THEN 'http://sub0.n3.example:8080/p/' || o_orderkey
+        ELSE 'http://sub' || (o_orderkey % 4) || '.n' || (o_custkey % 30)
+             || '.example/p/' || o_orderkey END AS url
+      FROM orders
+    ), bl AS (
+      SELECT 'n' || n_nationkey || '.example' AS d FROM nation
+      WHERE n_nationkey % 3 = 0
+      UNION ALL SELECT 'sub1.n1.example'
+      UNION ALL SELECT 'sub2.n3.example'
+    ), lv AS (
+      SELECT url, host,
+             host AS s0,
+             CASE WHEN len(string_split(host, '.')) > 1
+                  THEN array_to_string(string_split(host, '.')[2:], '.')
+             END AS s1,
+             CASE WHEN len(string_split(host, '.')) > 2
+                  THEN array_to_string(string_split(host, '.')[3:], '.')
+             END AS s2
+      FROM (SELECT url, lower(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host FROM u)
+    )
+    SELECT url, host,
+           coalesce(b0.d, b1.d, b2.d) AS matched_domain,
+           coalesce(b0.d, b1.d, b2.d) IS NOT NULL AS blocked
+    FROM lv
+    LEFT JOIN bl b0 ON lv.s0 = b0.d
+    LEFT JOIN bl b1 ON lv.s1 = b1.d
+    LEFT JOIN bl b2 ON lv.s2 = b2.d
+    """,
+)
+def blocklist_ut1_c7(spark, sf_dir):
+    from lectura.frontier import blocklist_filter
+
+    o = t(spark, sf_dir, "orders")
+    url = F.when(
+        F.col("o_orderkey") % 97 == 0, F.lit("not a url")
+    ).when(
+        F.col("o_orderkey") % 89 == 0,
+        F.concat(F.lit("http://sub0.n3.example:8080/p/"),
+                 F.col("o_orderkey").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("http://sub"),
+                 (F.col("o_orderkey") % 4).cast("string"),
+                 F.lit(".n"), (F.col("o_custkey") % 30).cast("string"),
+                 F.lit(".example/p/"),
+                 F.col("o_orderkey").cast("string")),
+    )
+    n = t(spark, sf_dir, "nation")
+    bl = (
+        n.filter(F.col("n_nationkey") % 3 == 0)
+        .select(F.concat(F.lit("n"), F.col("n_nationkey").cast("string"),
+                         F.lit(".example")).alias("domain"))
+        .unionByName(n.limit(1).select(
+            F.lit("sub1.n1.example").alias("domain")))
+        .unionByName(n.limit(1).select(
+            F.lit("sub2.n3.example").alias("domain")))
+    )
+    return blocklist_filter(o.select(url.alias("url")), bl, max_depth=3)
+
+
 # C4 — exponential-backoff retry queue from the fetch log (events as the
 # deterministic attempt history: day index = round, 'error' = miss).
 @q(

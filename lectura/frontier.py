@@ -268,3 +268,57 @@ def trap_templates(urls: DataFrame, min_fanout: int = 100,
         .select("host", "template", "n_urls", "host_urls",
                 F.round(frac, 4).alias("fanout_frac"))
     )
+
+
+def blocklist_filter(urls: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url", domain_col: str = "domain",
+                     max_depth: int = 5) -> DataFrame:
+    """UT1-style domain-blocklist filtering (the RefinedWeb / Dolma URL
+    gate — Penedo et al. 2023 §3.1 filter crawl output against the
+    public UT1 adult/malware domain lists): a URL is blocked iff its
+    lowercased authority, or any dot-suffix of it, appears in the
+    blocklist — 'ads.x.example' is blocked by an 'x.example' entry,
+    subdomain entries block only their subtree, and the MOST SPECIFIC
+    (longest) matching suffix is reported. A non-default port makes a
+    distinct authority (the politeness/trap-unit rule trap_templates
+    also follows): 'x.example:8080' does not match an 'x.example'
+    entry. Rows with no scheme://authority shape keep host='' and
+    blocked=false (not crawlable, nothing to block — callers drop them
+    elsewhere). Returns (url, host, matched_domain, blocked).
+
+    Scale shape: zero shuffle on the URL side — the suffix chain is
+    unrolled into ``max_depth`` scan-stage columns and matched by
+    ``max_depth`` BROADCAST hash left-joins against the deduplicated
+    blocklist (UT1 is ~4.5M domains ≈ tens of MB — comfortably
+    broadcastable; the one shuffle in the plan is the distinct on that
+    small dim). Longest-match-wins is a coalesce ordered full-host
+    first, so no re-aggregation is needed after the joins; beyond
+    broadcast size, swap to a shuffle join on an exploded suffix
+    column."""
+    host = F.lower(F.regexp_extract(
+        url_col, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    labels = F.split(host, r"\.")
+    base = urls.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        labels.alias("_ls"),
+    )
+    sufs = [F.col("host").alias("_s0")] + [
+        F.when(
+            F.size("_ls") > i,
+            F.array_join(F.slice("_ls", F.lit(i + 1),
+                                 F.size("_ls") - F.lit(i)), "."),
+        ).alias(f"_s{i}")
+        for i in range(1, max_depth)
+    ]
+    out = base.select("url", "host", *sufs)
+    bl = blocklist.select(F.col(domain_col).alias("_d")).distinct()
+    for i in range(max_depth):
+        bl_i = bl.select(F.col("_d").alias(f"_d{i}"))
+        out = out.join(F.broadcast(bl_i),
+                       out[f"_s{i}"] == bl_i[f"_d{i}"], "left")
+    matched = F.coalesce(*[F.col(f"_d{i}") for i in range(max_depth)])
+    return out.select(
+        "url", "host", matched.alias("matched_domain"),
+        matched.isNotNull().alias("blocked"),
+    )

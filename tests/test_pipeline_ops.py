@@ -302,3 +302,60 @@ def test_trap_templates_matches_pure(spark):
     # stays flagged; the uppercase-scheme host has 1 url (not flagged)
     assert got == {("a.example", "/cal/N/N/N"): (40, 41, round(40 / 41, 4)),
                    ("d.example", ""): (12, 12, 1.0)}
+
+
+def test_blocklist_filter_matches_pure(spark):
+    """Pure-Python UT1 blocklist semantics: suffix matching blocks
+    subdomains, the most specific entry wins, ports and malformed URLs
+    never match, NULL url degrades to host='' / unblocked; the URL
+    side must join by broadcast only (no sort-merge join)."""
+    from lectura.frontier import blocklist_filter
+
+    bl = spark.createDataFrame(
+        [("bad.example",), ("ads.good.example",), ("deep.example",),
+         ("bad.example",)],  # duplicate entry must not duplicate rows
+        "domain string")
+    rows = [
+        (1, "http://bad.example/x"),              # exact
+        (2, "http://a.bad.example/x"),            # parent suffix
+        (3, "HTTPS://B.A.BAD.EXAMPLE/x"),         # case + depth-3 suffix
+        (4, "http://good.example/x"),             # subdomain-only entry
+        (5, "http://ads.good.example/x"),         # subtree root
+        (6, "http://x.ads.good.example/x"),       # inside subtree
+        (7, "http://bad.example:8080/x"),         # port = distinct authority
+        (8, "not a url"),                         # malformed
+        (9, None),                                # NULL url
+        (10, "http://v.w.x.y.deep.example/x"),    # level 5 suffix
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = blocklist_filter(df.select("url"), bl, max_depth=6)
+    got = {r.url: (r.host, r.matched_domain, r.blocked)
+           for r in out.collect()}
+
+    assert got["http://bad.example/x"] == \
+        ("bad.example", "bad.example", True)
+    assert got["http://a.bad.example/x"] == \
+        ("a.bad.example", "bad.example", True)
+    assert got["HTTPS://B.A.BAD.EXAMPLE/x"] == \
+        ("b.a.bad.example", "bad.example", True)
+    assert got["http://good.example/x"] == \
+        ("good.example", None, False)
+    assert got["http://ads.good.example/x"] == \
+        ("ads.good.example", "ads.good.example", True)
+    assert got["http://x.ads.good.example/x"] == \
+        ("x.ads.good.example", "ads.good.example", True)
+    assert got["http://bad.example:8080/x"] == \
+        ("bad.example:8080", None, False)
+    assert got["not a url"] == ("", None, False)
+    assert got[None] == (None, None, False)
+    assert got["http://v.w.x.y.deep.example/x"] == \
+        ("v.w.x.y.deep.example", "deep.example", True)
+    # a max_depth too shallow to reach the suffix leaves it unblocked
+    shallow = blocklist_filter(df.select("url"), bl, max_depth=3)
+    deep = {r.url: r.blocked for r in shallow.collect()}
+    assert deep["http://v.w.x.y.deep.example/x"] is False
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
