@@ -2481,6 +2481,63 @@ def gopher_rules_q10(spark, sf_dir):
     return gopher_rules(docs, min_words=10, max_words=500)
 
 
+# Q11 — BM25 top-k retrieval: Lucene-form idf, k1=1.2 b=0.75, both
+# engines pre-round idf/avgdl/per-term contributions to 9dp and the
+# summed score to 4dp with doc-id tiebreaks, so the top-20 set, scores
+# and ranks hash-match exactly. 'zzzz' exercises the absent-term path.
+_BM25_TERMS = ["scan", "window", "query", "zzzz"]
+
+
+@q(
+    "bm25_topk_q11",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS term
+      FROM documents
+    ), dls AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n,
+             round(CAST(sum(dl) AS DOUBLE) / count(*), 9) AS avgdl
+      FROM dls
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term IN ('scan', 'window', 'query', 'zzzz')
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT term,
+             round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 9) AS idf,
+             avgdl
+      FROM dfreq, stats
+    ), contrib AS (
+      SELECT tf.doc_id AS doc_id,
+             round(idf * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl / avgdl)), 9) AS c
+      FROM tf JOIN idf USING (term) JOIN dls USING (doc_id)
+    ), scored AS (
+      SELECT doc_id, round(sum(c), 4) + 0.0 AS score
+      FROM contrib GROUP BY 1
+    ), ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def bm25_topk_q11(spark, sf_dir):
+    from lectura.textops import bm25_search
+
+    return bm25_search(t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

@@ -1002,3 +1002,85 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         & (F.col("n_required_stops") >= min_required_stops)
     )
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def bm25_search(df: DataFrame, query_terms: list[str], k: int = 20,
+                k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """BM25 top-k retrieval over the corpus (Robertson & Zaragoza 2009,
+    "The Probabilistic Relevance Framework: BM25 and Beyond"; idf uses
+    the Lucene-style non-negative form ln(1 + (N - df + .5)/(df + .5))):
+    tokens are lowercased [a-z0-9] runs (the tfidf_top_terms tokenizer),
+    N and avgdl count only docs with >= 1 token, and a doc's score is
+    the sum over matched query terms of idf * tf*(k1+1) / (tf + k1*(1 -
+    b + b*dl/avgdl)). idf and avgdl are pre-rounded to 9dp, each
+    per-term contribution to 9dp BEFORE the per-doc sum (so the 4dp
+    final score cannot flip on float summation order), with ties
+    broken on doc id, so the top-k set and ranks are engine- and
+    partitioning-invariant. Docs matching no query term never appear.
+    Returns (id, score, rank) with rank 1..k.
+
+    Scale shape: the query-term filter pushes into the tokenize stage,
+    so the corpus-wide shuffle carries ONLY (id, term) hit rows — at
+    most |query| per document; per-term df and idf live in a
+    query-sized table joined back by broadcast; corpus stats (N,
+    avgdl) are one column-pruned scan collapsing map-side to a single
+    row. The global top-k is orderBy+limit (TakeOrderedAndProject —
+    distributed partial top-k, the F5 discipline), and the rank window
+    runs over k rows only. The hits lineage is consumed twice (df
+    count + contributions) plus one stats scan = three text scans; at
+    corpus scale persist the slim (id, dl, term, tf) hits projection
+    first and it drops to two, the tfidf_top_terms note. df is a
+    groupBy (map-side partial agg), deliberately NOT a
+    Window.partitionBy(term) — a per-term window would pile every hit
+    for a hot query term into one task, the exact skew the broadcast
+    join-back avoids."""
+    from pyspark.sql import Window
+
+    toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    dl = F.size(toks)
+
+    stats = (
+        df.select(dl.alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("dl").cast("double") / F.count("*"), 9)
+              .alias("avgdl"))
+    )
+    hits = (
+        df.select(
+            F.col(id_col).alias("id"), dl.alias("dl"),
+            F.explode(F.array_intersect(toks, qlit)).alias("term"),
+            F.size(F.filter(toks, lambda x: x == F.col("term")))
+             .alias("tf"),
+        )
+    )
+    # array_intersect dedupes, so tf comes from a recount inside the
+    # same scan (the filter above) — one row per (doc, matched term)
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        # ln(1.0 + x), not log1p: mirrors the DuckDB oracle's ieee754
+        # op sequence exactly so the 9dp pre-round sees the same double
+        F.round(F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5)), 9).alias("idf"),
+        "avgdl",
+    )
+    contrib = (
+        hits.join(F.broadcast(idf), "term")
+        .select(
+            "id",
+            F.round(
+                F.col("idf") * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                       / F.col("avgdl"))), 9).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("id").agg(
+        (F.round(F.sum("c"), 4) + F.lit(0.0)).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return topk.select(
+        F.col("id").alias(id_col), "score",
+        F.row_number().over(w).cast("long").alias("rank"))

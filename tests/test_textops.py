@@ -1057,3 +1057,63 @@ def test_gopher_rules_matches_pure(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bm25_search_matches_pure(spark):
+    """Pure-Python BM25 reference (Robertson & Zaragoza 2009, Lucene
+    idf): [a-z0-9]-run tokens, N/avgdl over docs with >=1 token, idf /
+    avgdl / per-term contribution pre-rounded to 9dp, score to 4dp,
+    rank on (score DESC, id ASC). NULL-text and no-match docs never
+    appear; an absent query term contributes nothing; the ranking is
+    identical at 1 and 16 partitions."""
+    import math
+    import re
+    from collections import Counter
+
+    from lectura.textops import bm25_search
+
+    k1, b = 1.2, 0.75
+    terms = ["spark", "frontier", "robots", "absent"]
+    rows = [
+        (1, "Spark spark CRAWL frontier frontier frontier"),
+        (2, "spark robots; robots, politeness!"),
+        (3, "unique-term spark crawl"),
+        (4, None),
+        (5, "zz zz zz"),
+        (6, "frontier"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, terms, k=4)
+    got = [(r.doc_id, r.score, r.rank) for r in out.collect()]
+
+    toks = {}
+    for i, t in rows:
+        ts = [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+        if ts:
+            toks[i] = ts
+    n = len(toks)
+    avgdl = round(sum(len(v) for v in toks.values()) / n, 9)
+    tf = {i: Counter(t for t in v if t in terms) for i, v in toks.items()}
+    dfreq = Counter(t for c in tf.values() for t in c)
+    idf = {t: round(math.log(1.0 + (n - d + 0.5) / (d + 0.5)), 9)
+           for t, d in dfreq.items()}
+    scores = {}
+    for i, c in tf.items():
+        if not c:
+            continue
+        dl = len(toks[i])
+        s = sum(round(idf[t] * cnt * (k1 + 1.0)
+                      / (cnt + k1 * (1.0 - b + b * dl / avgdl)), 9)
+                for t, cnt in c.items())
+        scores[i] = round(s, 4) + 0.0
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:4]
+    assert got == [(i, s, r) for r, (i, s) in enumerate(want, 1)]
+    assert {g[0] for g in got}.isdisjoint({4, 5})
+
+    got16 = [(r.doc_id, r.score, r.rank)
+             for r in bm25_search(df.repartition(16), terms, k=4).collect()]
+    assert got16 == got
+
+    # global top-k must be a distributed partial top-k, not a full sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
