@@ -75,6 +75,9 @@ OPERATOR_QUERIES = [
     "retry_backoff_c4", "trap_templates_c5", "anchor_text_g3",
     "pii_scrub", "dup_span_stats", "tfidf_top_terms",
     "lang_id_stopword",
+    # late-r3 additions (SURVEY §2.8c–e)
+    "lm_ppl_buckets", "c4_rules_q9", "gopher_rules_q10", "bm25_topk_q11",
+    "domain_quality_c6", "blocklist_ut1_c7", "ann_pq_topk",
 ]
 
 

