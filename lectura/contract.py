@@ -2538,6 +2538,44 @@ def bm25_topk_q11(spark, sf_dir):
     return bm25_search(t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
 
 
+# Q12 — exact-phrase search (positional posting intersection): both
+# engines tokenize on [^a-z0-9]+, intersect candidate starts per
+# (doc, start) group, and count all (incl. overlapping) matches. The
+# sf0.01 fixture has 27 matching docs, one with 2 occurrences —
+# verified in DuckDB before wiring.
+@q(
+    "phrase_search_q12",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS l
+      FROM documents
+    ), posting AS (
+      SELECT doc_id, unnest(l) AS term,
+             unnest(range(len(l))) AS pos
+      FROM toks
+    ), offsets AS (
+      SELECT * FROM (VALUES ('hash', 0), ('join', 1)) AS t(term, j)
+    ), hits AS (
+      SELECT doc_id, pos - j AS start
+      FROM posting JOIN offsets USING (term)
+      WHERE pos - j >= 0
+    ), starts AS (
+      SELECT doc_id, start FROM hits
+      GROUP BY doc_id, start HAVING count(*) = 2
+    )
+    SELECT doc_id, count(*) AS n_matches,
+           CAST(min(start) AS BIGINT) AS first_pos
+    FROM starts GROUP BY doc_id
+    """,
+)
+def phrase_search_q12(spark, sf_dir):
+    from lectura.textops import phrase_search
+
+    return phrase_search(t(spark, sf_dir, "documents"), ["hash", "join"])
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

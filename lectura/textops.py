@@ -1084,3 +1084,47 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 20,
     return topk.select(
         F.col("id").alias(id_col), "score",
         F.row_number().over(w).cast("long").alias("rank"))
+
+
+def phrase_search(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact-phrase matching via positional posting intersection (the
+    classic positional-inverted-index algorithm, Manning et al. IIR
+    §2.4.2, expressed relationally): tokens are lowercased [a-z0-9]
+    runs (the bm25_search tokenizer); a phrase of length p matches at
+    start s iff token s+j == phrase[j] for every j. Docs with zero
+    matches never appear. Returns (id, n_matches, first_pos) with
+    0-based first_pos, ordered deterministically by the caller's
+    groupBy key.
+
+    Scale shape: the phrase-term filter pushes into the tokenize scan,
+    so the corpus-wide shuffle carries ONLY (id, candidate-start, j)
+    hit rows — at most p per posting; the (term, j) offsets table is
+    phrase-sized and broadcast. A start matches iff its group holds
+    all p offsets, and (id, start, j) is unique by construction
+    (pos = start + j), so a plain count(*) suffices — no distinct agg.
+    The per-doc rollup groups match rows only (tiny). Same discipline
+    as bm25_search: one text scan, slim hit shuffle, no Python."""
+    spark = df.sparkSession
+    p = len(phrase)
+    toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
+
+    offsets = spark.createDataFrame(
+        [(t, j) for j, t in enumerate(phrase)], "term string, j int")
+    hits = (
+        df.select(F.col(id_col).alias("id"),
+                  F.posexplode(toks).alias("pos", "term"))
+        .join(F.broadcast(offsets), "term")
+        .select("id", (F.col("pos") - F.col("j")).alias("start"), "j")
+        .filter(F.col("start") >= 0)
+    )
+    starts = (
+        hits.groupBy("id", "start").agg(F.count("*").alias("n_off"))
+        .filter(F.col("n_off") == p)
+    )
+    return (
+        starts.groupBy("id")
+        .agg(F.count("*").alias("n_matches"),
+             F.min("start").cast("long").alias("first_pos"))
+        .select(F.col("id").alias(id_col), "n_matches", "first_pos")
+    )

@@ -1117,3 +1117,51 @@ def test_bm25_search_matches_pure(spark):
     # global top-k must be a distributed partial top-k, not a full sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_search_matches_pure(spark):
+    """Pure-Python positional reference: overlapping matches count
+    (phrase 'aa aa' matches 'aa aa aa' at starts 0 and 1), repeated
+    phrase terms resolve per-offset, NULL/no-match docs never appear,
+    and results are identical at 1 and 16 partitions."""
+    import re
+
+    from lectura.textops import phrase_search
+
+    rows = [
+        (1, "big hash join fast hash join done"),   # two matches
+        (2, "hash only and join only"),              # terms, no phrase
+        (3, "HASH  Join!"),                          # case/punct fold
+        (4, None),
+        (5, "aa aa aa"),                             # overlap fixture
+        (6, "join hash"),                            # reversed order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pure(phrase):
+        out = {}
+        for i, t in rows:
+            toks = [x for x in re.split(r"[^a-z0-9]+", (t or "").lower())
+                    if x]
+            p = len(phrase)
+            starts = [s for s in range(len(toks) - p + 1)
+                      if toks[s:s + p] == phrase]
+            if starts:
+                out[i] = (len(starts), starts[0])
+        return out
+
+    for phrase in (["hash", "join"], ["aa", "aa"]):
+        got = {r.doc_id: (r.n_matches, r.first_pos)
+               for r in phrase_search(df, phrase).collect()}
+        assert got == pure(phrase), phrase
+        got16 = {r.doc_id: (r.n_matches, r.first_pos)
+                 for r in phrase_search(df.repartition(16), phrase)
+                 .collect()}
+        assert got16 == got, phrase
+    # overlap fixture really overlaps: 'aa aa' in 'aa aa aa' → 2
+    assert pure(["aa", "aa"])[5] == (2, 0)
+
+    # the phrase-offsets dim must broadcast — no shuffle on the tiny side
+    plan = (phrase_search(df, ["hash", "join"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
