@@ -2576,6 +2576,55 @@ def phrase_search_q12(spark, sf_dir):
     return phrase_search(t(spark, sf_dir, "documents"), ["hash", "join"])
 
 
+# Q13 — normalization-robust exact dedup (CCNet normalize-before-hash):
+# every 17th doc gets a planted mutant (uppercased, accented vowels,
+# ' '→' , ', '!!!' suffix — all normalization-invariant edits) under
+# id+10^6; the groups must pair each base with exactly its mutant.
+# Verified in DuckDB before wiring: 30 groups of 2 at sf0.01, zero
+# natural collisions.
+from lectura.textops import _ACCENT_FROM, _ACCENT_TO  # noqa: E402
+
+
+@q(
+    "norm_dedup_q13",
+    """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             replace(translate(upper(text), 'AEIO', 'ÁÉÍÓ'),
+                     ' ', ' , ') || ' !!!'
+      FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+    )
+    SELECT sha256(trim(regexp_replace(regexp_replace(regexp_replace(
+             translate(lower(coalesce(text, '')),
+                       '{afrom}', '{ato}'),
+             '[0-9]', '0', 'g'), '[^a-z0-9 ]+', ' ', 'g'),
+             ' +', ' ', 'g'))) AS norm_sha,
+           count(*) AS n_copies, min(doc_id) AS keeper
+    FROM src GROUP BY 1 HAVING count(*) > 1
+    """.format(afrom=_ACCENT_FROM, ato=_ACCENT_TO),
+)
+def norm_dedup_q13(spark, sf_dir):
+    from lectura.textops import normalized_dedup_groups
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = (
+        docs.filter((F.col("doc_id") % 17 == 0) & F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.replace(
+                    F.translate(F.upper("text"), "AEIO",
+                                "ÁÉÍÓ"),
+                    F.lit(" "), F.lit(" , ")),
+                F.lit(" !!!"),
+            ).alias("text"),
+        )
+    )
+    return normalized_dedup_groups(docs.unionByName(mutants))
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

@@ -1128,3 +1128,50 @@ def phrase_search(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
              F.min("start").cast("long").alias("first_pos"))
         .select(F.col("id").alias(id_col), "n_matches", "first_pos")
     )
+
+
+# 1:1 accent fold (NFC precomposed Latin-1 Supplement + common Latin
+# Extended-A, lowercase only — lower() runs first, so uppercase accents
+# are already folded to these) — an explicit engine-neutral map, NOT
+# DuckDB's strip_accents / ICU (whose tables differ across engines and
+# versions; the oracle embeds these same two strings). Combining-mark
+# (NFD) input is out of scope, documented.
+_ACCENT_FROM = "áàâäãåāăçćčďéèêëēėęğíìîïīįłñńňóòôöõøōŕřśšşťúùûüūůýÿžźż"
+_ACCENT_TO = "aaaaaaaacccdeeeeeeegiiiiiilnnnooooooorrssstuuuuuuyyzzz"
+assert len(_ACCENT_FROM) == len(_ACCENT_TO)
+
+
+def ccnet_normalize(col) -> F.Column:
+    """CCNet-style dedup-key normalization (Wenzek et al. 2020 §2.1
+    normalize before hashing; same spirit as the SlimPajama/RedPajama
+    dedup keys), frozen order: lowercase → 1:1 accent fold → every
+    digit → '0' → non-[a-z0-9 ] runs → ' ' → whitespace collapse →
+    trim; NULL → ''. Pure scan-stage JVM expressions (lower /
+    translate / regexp_replace) with a dialect-safe regex subset —
+    the DuckDB oracle runs the IDENTICAL chain."""
+    x = F.lower(F.coalesce(col, F.lit("")))
+    x = F.translate(x, _ACCENT_FROM, _ACCENT_TO)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    x = F.regexp_replace(x, "[^a-z0-9 ]+", " ")
+    return F.trim(F.regexp_replace(x, " +", " "))
+
+
+def normalized_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Normalization-robust exact dedup: group docs by
+    sha2(ccnet_normalize(text)) and emit one row per group with > 1
+    member — (norm_sha, n_copies, keeper) with the lowest id kept.
+    Catches the case/format/accent/digit near-copies byte-exact dedup
+    misses (the reason CCNet normalizes before hashing).
+
+    Scale shape: normalization + sha are scan-stage JVM expressions;
+    the dedup is ONE partial-aggregating groupBy on the 64-hex key
+    (map-side combine collapses hot duplicates — the r3 exact-dedup
+    discipline, never a window); text itself never shuffles."""
+    key = F.sha2(ccnet_normalize(F.col(text_col)), 256)
+    return (
+        df.select(key.alias("norm_sha"), F.col(id_col).alias("id"))
+        .groupBy("norm_sha")
+        .agg(F.count("*").alias("n_copies"), F.min("id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )

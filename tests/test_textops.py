@@ -1165,3 +1165,45 @@ def test_phrase_search_matches_pure(spark):
     plan = (phrase_search(df, ["hash", "join"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_ccnet_normalize_and_dedup_groups(spark):
+    """Pure-Python reference of the frozen normalization chain; the
+    dedup groups must pair normalization-equal docs (case, accents,
+    digits, punctuation, whitespace) and never pair distinct content;
+    NULL and empty text normalize to the same '' key. Plan: one
+    partial-aggregating groupBy, no window."""
+    import re
+
+    from lectura.textops import (_ACCENT_FROM, _ACCENT_TO, ccnet_normalize,
+                                 normalized_dedup_groups)
+
+    fold = str.maketrans(_ACCENT_FROM, _ACCENT_TO)
+
+    def pure(t):
+        x = (t or "").lower().translate(fold)
+        x = re.sub(r"[0-9]", "0", x)
+        x = re.sub(r"[^a-z0-9 ]+", " ", x)
+        return re.sub(r" +", " ", x).strip()
+
+    rows = [
+        (1, "Héllo,  Wörld 42!"),
+        (2, "hello world 90"),          # digits differ → same key as 1
+        (3, "HELLO WORLD\t17\n"),       # case/ws → same key as 1
+        (4, "hello worlds 42"),         # distinct content
+        (5, None),
+        (6, ""),
+        (7, "ŁÓDŹ źdźbło"),
+        (8, "lodz zdzblo"),             # accent-folded pair with 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_norm = {r.doc_id: r.n for r in df.select(
+        "doc_id", ccnet_normalize(F.col("text")).alias("n")).collect()}
+    assert got_norm == {i: pure(t) for i, t in rows}
+
+    out = normalized_dedup_groups(df)
+    got = sorted((r.n_copies, r.keeper) for r in out.collect())
+    # {1,2,3} collapse, {5,6} ('' key), {7,8} accent-fold; 4 alone
+    assert got == [(2, 5), (2, 7), (3, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Window" not in plan
