@@ -1580,6 +1580,54 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
+# Multimodal feature extraction: 16-bin byte histogram over the opaque
+# payload — the "feature-extract" stage between decode (multimodal_meta)
+# and sampling (frame_sample). The Spark side is the REAL plumbing a
+# CLIP-style featurizer would use (mapInPandas, numpy over Arrow
+# batches, one histogram pass per payload); the oracle reconstructs the
+# same bins from codepoints (byte == codepoint on this ASCII fixture,
+# the documented oracle_sql.py assumption). Empty/NULL payloads emit no
+# rows on both engines.
+@q(
+    "mm_byte_hist_q14",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(text[i]) // 16) AS bins
+      FROM documents WHERE text IS NOT NULL
+    ), e AS (
+      SELECT doc_id, unnest(bins) AS bin FROM b
+    )
+    SELECT doc_id, bin, count(*) AS n FROM e GROUP BY 1, 2
+    """,
+)
+def mm_byte_hist_q14(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    def featurize(batches):
+        # stands in for an image/audio featurizer: bytes -> fixed-size
+        # feature vector (here: a 16-bin intensity histogram), one
+        # vectorized numpy pass per Arrow batch, never per-row Python.
+        for pdf in batches:
+            ids, bins, ns = [], [], []
+            for i, x in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(x.encode("utf-8"), dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=16)
+                nz = np.flatnonzero(hist)
+                ids.extend([i] * len(nz))
+                bins.extend(nz.tolist())
+                ns.extend(hist[nz].tolist())
+            yield pd.DataFrame({"doc_id": ids, "bin": bins, "n": ns})
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text").filter(F.col("text").isNotNull())
+        .mapInPandas(featurize, "doc_id long, bin long, n long")
+    )
+
+
 # Multimodal frame sampling over array payloads (every-2nd-frame averages)
 @q(
     "frame_sample",

@@ -1207,3 +1207,35 @@ def test_ccnet_normalize_and_dedup_groups(spark):
     assert got == [(2, 5), (2, 7), (3, 1)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan and "Window" not in plan
+
+
+def test_mm_byte_hist_matches_pure(spark):
+    """The multimodal feature-extract stub operates on utf-8 BYTES
+    (multi-byte chars land in the high bins 8–15 — the oracle's
+    codepoint form only matches on the ASCII fixture, a documented
+    assumption); empty payloads emit no rows; the Arrow batch path
+    must equal a pure-Python byte histogram."""
+    from collections import Counter
+
+    from lectura.contract import mm_byte_hist_q14
+
+    rows = [(1, "abc"), (2, ""), (3, "héllo"), (4, None), (5, "\x00\x7f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import lectura.contract as C
+    orig = C.t
+    C.t = lambda spark, sf, name: df
+    try:
+        got = sorted((r.doc_id, r.bin, r.n)
+                     for r in mm_byte_hist_q14(spark, "unused").collect())
+    finally:
+        C.t = orig
+
+    want = []
+    for i, s in rows:
+        if s is None:
+            continue
+        for b, n in sorted(Counter(x >> 4 for x in s.encode()).items()):
+            want.append((i, b, n))
+    assert got == sorted(want)
+    # 'é' is 2 bytes (0xC3 0xA9) → bins 12 and 10 present for doc 3
+    assert (3, 12, 1) in got and (3, 10, 1) in got
