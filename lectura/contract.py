@@ -1947,6 +1947,28 @@ def _event_stream(spark, sf_dir):
     return streaming.read_event_stream(spark, f"{sf_dir}/events.parquet")
 
 
+# ST9 — stream-stream interval join, streamed (append mode; the whole
+# fixture arrives in one micro-batch, so no row is ever late and the
+# streamed inner join equals the batch interval join the oracle runs)
+@q(
+    "stream_join_st9",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           date_diff('microsecond', v.ts, c.ts) AS gap_us
+    FROM events v JOIN events c
+      ON v.event_type = 'view' AND c.event_type = 'click'
+     AND c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_st9(spark, sf_dir):
+    from lectura import streaming
+
+    ev = _event_stream(spark, sf_dir)
+    joined = streaming.view_click_attribution(ev)
+    return streaming.collect_stream(joined, spark, output_mode="append")
+
+
 # ST2 — tumbling-window metrics, streamed (complete mode ⇒ watermark is
 # advisory, so the full-input result equals the batch aggregation)
 @q(

@@ -232,6 +232,48 @@ def run_foreach_batch(
     q.awaitTermination()
 
 
+def view_click_attribution(events: DataFrame, horizon: str = "30 minutes",
+                           watermark: str = "1 hour") -> DataFrame:
+    """ST9 — stream-stream interval join (the canonical attribution
+    shape, per the public Structured Streaming stream-stream-join
+    semantics): each 'view' joins the same user's 'click's landing in
+    [v_ts, v_ts + horizon], inclusive both ends. Watermarks on BOTH
+    sides bound the join state Spark must retain (click state expires
+    once watermark passes c_ts; view state once it passes
+    v_ts + horizon) — without them an inner stream-stream join's state
+    grows forever. Returns (view_id, click_id, user_id, gap_us) with
+    the exact microsecond gap (unix_micros, integer — no float epoch).
+
+    Scale shape: the join keys on user_id, so both sides hash-shuffle
+    once on the SAME key and the range predicate evaluates inside the
+    co-located stream-stream join operator; state size is bounded by
+    events-per-watermark-window, not stream length."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("view_id"))
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", watermark)
+    )
+    j = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return j.select(
+        "view_id", "click_id", F.col("v_user").alias("user_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
 def collect_stream(
     df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

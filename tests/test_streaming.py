@@ -200,3 +200,58 @@ def test_foreach_batch_exactly_once(spark, tmp_path):
     ev3 = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
     streaming.run_foreach_batch(ev3, batch_fn2, ckpt)
     assert sum(n for _, n in rerun) == 1
+
+
+# --- ST9: stream-stream interval join — cross-batch state + watermark ----
+
+def test_stream_join_state_across_batches_and_late_drop(spark, tmp_path):
+    """A click in a LATER micro-batch must still join a view from an
+    earlier one (join state retained until the watermark passes
+    v_ts + horizon), and a click older than the watermark must be
+    dropped, never joined."""
+    watch = str(tmp_path / "events_in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 0: view V1 + same-batch click C9 (pair 1), plus view V0
+    # (user 2) whose only candidate click arrives too late in batch 2
+    _write_batch(watch, 0, [
+        _ev(1, "2026-01-01 10:00:00", etype="view", uid=1),
+        _ev(9, "2026-01-01 10:05:00", etype="click", uid=1),
+        _ev(6, "2026-01-01 09:25:00", etype="view", uid=2),
+    ], EVENT_PA_SCHEMA)
+    # batch 1: cross-batch click C2 at 10:20 joins V1 (pair 2). The
+    # GLOBAL watermark is min over BOTH sides' watermarks
+    # (multipleWatermarkPolicy=min), so the view side must advance too:
+    # V8 at 11:00 (user 99, no clicks) pushes views to 10:50, clicks'
+    # 10:20 pushes clicks to 10:10 → global watermark 10:10
+    _write_batch(watch, 1, [
+        _ev(2, "2026-01-01 10:20:00", etype="click", uid=1),
+        _ev(8, "2026-01-01 11:00:00", etype="view", uid=99),
+    ], EVENT_PA_SCHEMA)
+    # batch 2: user 2's click at 09:30 is inside V0's horizon on paper,
+    # but the click-side state watermark is global_wm − horizon = 09:40
+    # (a 09:30 click can only match views with v_ts ≤ 09:30, and all
+    # view state below 09:40 is evicted at wm 10:10) → the input row is
+    # dropped, the (6, 3) pair never emitted. A click merely behind the
+    # raw watermark but inside a live view's horizon (e.g. 10:06) is
+    # NOT droppable and correctly joins — that's why the fixture uses
+    # 09:30, not 10:06.
+    _write_batch(watch, 2, [
+        _ev(3, "2026-01-01 09:30:00", etype="click", uid=2),
+    ], EVENT_PA_SCHEMA)
+
+    ev = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
+    joined = streaming.view_click_attribution(
+        ev, horizon="30 minutes", watermark="10 minutes")
+    q = streaming.run_available_now(joined, sink, ckpt)
+
+    got = {(r.view_id, r.click_id, r.user_id, r.gap_us)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, 9, 1, 5 * 60 * 1_000_000),
+                   (1, 2, 1, 20 * 60 * 1_000_000)}
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped >= 1
