@@ -1608,18 +1608,27 @@ def mm_byte_hist_q14(spark, sf_dir):
 
     def featurize(batches):
         # stands in for an image/audio featurizer: bytes -> fixed-size
-        # feature vector (here: a 16-bin intensity histogram), one
-        # vectorized numpy pass per Arrow batch, never per-row Python.
+        # feature vector (here: a 16-bin intensity histogram). ONE
+        # numpy pass per Arrow batch: concatenate the batch's payloads,
+        # key every byte by row_idx*16 + bin, and take a single
+        # bincount — no per-row bincount loop.
         for pdf in batches:
-            ids, bins, ns = [], [], []
-            for i, x in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(x.encode("utf-8"), dtype=np.uint8)
-                hist = np.bincount(b >> 4, minlength=16)
-                nz = np.flatnonzero(hist)
-                ids.extend([i] * len(nz))
-                bins.extend(nz.tolist())
-                ns.extend(hist[nz].tolist())
-            yield pd.DataFrame({"doc_id": ids, "bin": bins, "n": ns})
+            if not len(pdf):
+                continue
+            payloads = [x.encode("utf-8") for x in pdf["text"]]
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                               count=len(payloads))
+            b = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(len(payloads)), lens)
+            flat = np.bincount(row_idx * 16 + (b >> 4),
+                               minlength=len(payloads) * 16)
+            hist = flat.reshape(len(payloads), 16)
+            rows, bins = np.nonzero(hist)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[rows],
+                "bin": bins,
+                "n": hist[rows, bins],
+            })
 
     return (
         t(spark, sf_dir, "documents")

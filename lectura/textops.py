@@ -1004,6 +1004,30 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
+def _fold_query_terms(terms: list[str]) -> list[str]:
+    """Fold each query term with the document tokenizer rule
+    ([a-z0-9] runs of the lowercased term). A term that folds to
+    several tokens or to none raises — a raw 'Hash' or "don't" passed
+    to bm25_search would otherwise match NOTHING and silently return
+    an empty result. Duplicates after folding are dropped (first
+    occurrence wins)."""
+    import re
+
+    out: list[str] = []
+    for t in terms:
+        parts = [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+        if len(parts) != 1:
+            raise ValueError(
+                f"query term {t!r} folds to {parts} under the [a-z0-9] "
+                "tokenizer; pass single folded tokens (multi-token "
+                "phrases belong in phrase_search)")
+        if parts[0] not in out:
+            out.append(parts[0])
+    if not out:
+        raise ValueError("no query terms after folding")
+    return out
+
+
 def bm25_search(df: DataFrame, query_terms: list[str], k: int = 20,
                 k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -1027,7 +1051,11 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 20,
     avgdl) are one column-pruned scan collapsing map-side to a single
     row. The global top-k is orderBy+limit (TakeOrderedAndProject —
     distributed partial top-k, the F5 discipline), and the rank window
-    runs over k rows only. The hits lineage is consumed twice (df
+    Query terms pass through the SAME tokenizer as documents (a term
+    that folds to several tokens, or to none, raises — 'Hash' folds to
+    'hash', but silently matching nothing would be a wrong result);
+    duplicate terms after folding are deduped (they never contribute
+    twice). The hits lineage is consumed twice (df
     count + contributions) plus one stats scan = three text scans; at
     corpus scale persist the slim (id, dl, term, tf) hits projection
     first and it drops to two, the tfidf_top_terms note. df is a
@@ -1037,6 +1065,7 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 20,
     join-back avoids."""
     from pyspark.sql import Window
 
+    query_terms = _fold_query_terms(query_terms)
     toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
     qlit = F.array(*[F.lit(t) for t in query_terms])
     dl = F.size(toks)
@@ -1104,7 +1133,20 @@ def phrase_search(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
     all p offsets, and (id, start, j) is unique by construction
     (pos = start + j), so a plain count(*) suffices — no distinct agg.
     The per-doc rollup groups match rows only (tiny). Same discipline
-    as bm25_search: one text scan, slim hit shuffle, no Python."""
+    as bm25_search: one text scan, slim hit shuffle, no Python.
+
+    The phrase folds through the SAME tokenizer as documents before
+    matching — ["Don't", "STOP"] becomes the token sequence
+    ['don', 't', 'stop'], exactly what those characters produce inside
+    a document; an empty fold raises instead of silently matching
+    nothing."""
+    import re
+
+    phrase = [x for t in phrase
+              for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+    if not phrase:
+        raise ValueError("phrase folds to no tokens under the [a-z0-9] "
+                         "tokenizer")
     spark = df.sparkSession
     p = len(phrase)
     toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")

@@ -339,6 +339,12 @@ def pq_codebooks(df: DataFrame, m: int = 4, n_centroids: int = 16,
         train.select(F.xxhash64(id_col).alias("_h"), vec_col)
         .orderBy("_h").limit(n_centroids).collect()
     )
+    if len(init_rows) < n_centroids:
+        # explicit, not a silent clamp: a smaller codebook changes code
+        # width and recall; the caller controls train_mod/n_centroids
+        raise ValueError(
+            f"training set has {len(init_rows)} rows < n_centroids="
+            f"{n_centroids} (train_mod={train_mod} too aggressive?)")
     books = [
         [[float(x) for x in r[vec_col][mi * d_sub:(mi + 1) * d_sub]]
          for r in init_rows]
