@@ -164,6 +164,58 @@ def bucketed_join_s12(spark, sf_dir):
     )
 
 
+# S15 — warehouse MERGE/upsert (Iceberg copy-on-write MERGE INTO
+# equivalent): a REAL warehouse on scratch — base committed, updates
+# merged (every 3rd key updated, every 5th re-keyed as an insert), the
+# post-merge table read back through the snapshot manifest. The oracle
+# states the upsert relationally.
+@q(
+    "merge_upsert_s15",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_nationkey AS nation, 'base' AS src
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey AS k, c_nationkey + 100 AS nation, 'upd' AS src
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k, c_nationkey AS nation, 'new' AS src
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT k, nation, src FROM upd
+    UNION ALL
+    SELECT k, nation, src FROM base
+    WHERE k NOT IN (SELECT k FROM upd)
+    """,
+)
+def merge_upsert_s15(spark, sf_dir):
+    import shutil
+
+    from lectura.tables import Warehouse
+
+    root = f"/dev/shm/lectura_s15/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root, spark)
+    c = t(spark, sf_dir, "customer")
+    base = c.select(F.col("c_custkey").alias("k"),
+                    F.col("c_nationkey").cast("long").alias("nation"),
+                    F.lit("base").alias("src"))
+    upd = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"),
+                (F.col("c_nationkey") + 100).cast("long").alias("nation"),
+                F.lit("upd").alias("src"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 5 == 0)
+            .select((F.col("c_custkey") + 1000000).alias("k"),
+                    F.col("c_nationkey").cast("long").alias("nation"),
+                    F.lit("new").alias("src")))
+    )
+    wh.overwrite("m", base)
+    wh.merge("m", upd, "k")
+    return wh.read("m")
+
+
 # U7 — string functions
 @q(
     "string_fns",

@@ -162,6 +162,30 @@ class Warehouse:
         return self._commit(name, self._write_files(name, df),
                             df.schema.json())
 
+    def merge(self, name: str, updates: DataFrame,
+              key: str | list[str]) -> int:
+        """Keyed upsert — the copy-on-write face of Iceberg
+        ``MERGE INTO t USING u ON t.key = u.key WHEN MATCHED THEN
+        UPDATE * WHEN NOT MATCHED THEN INSERT *``: every update row
+        lands; base rows whose key collides are replaced; all other
+        base rows survive. Commits ONE new snapshot (atomic — readers
+        see pre- or post-merge state, never a mix), and every prior
+        snapshot stays readable (time travel across the merge).
+        Duplicate keys inside `updates` are the caller's contract to
+        resolve first (same as Iceberg MERGE, which rejects multiple
+        matches) — they would all land verbatim here.
+
+        Scale shape: one shuffle per side on the merge key (the
+        left_anti join); at Iceberg scale the equivalent is
+        merge-on-read deltas, but copy-on-write is the correct local
+        analogue and keeps every reader plan a plain parquet scan."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists(name):
+            return self.overwrite(name, updates)
+        base = self.read(name)
+        keep = base.join(updates.select(*keys).distinct(), keys, "left_anti")
+        return self.overwrite(name, keep.unionByName(updates))
+
     def read(self, name: str, snapshot: int | None = None) -> DataFrame:
         """Read a snapshot (default HEAD) — ``VERSION AS OF`` equivalent.
 

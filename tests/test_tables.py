@@ -91,3 +91,38 @@ def test_source_format_roundtrips(spark, tmp_path):
     with _pytest.raises(AnalysisException):
         docs.limit(1).write.mode("overwrite") \
             .format("avro").save(str(tmp_path / "a"))
+
+
+def test_merge_upsert_semantics_and_time_travel(spark, tmp_path):
+    """MERGE INTO equivalence: matched keys replaced, unmatched base
+    rows kept, new keys inserted — in ONE atomic snapshot; the
+    pre-merge snapshot stays readable with pre-merge values (time
+    travel across the merge); merging into a missing table creates
+    it."""
+    from lectura.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long")
+    snap0 = wh.overwrite("t", base)
+    upd = spark.createDataFrame(
+        [(2, "B", 200), (9, "z", 900)], "k long, s string, v long")
+    snap1 = wh.merge("t", upd, "k")
+    assert snap1 == snap0 + 1
+
+    got = sorted(tuple(r) for r in wh.read("t").collect())
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30), (9, "z", 900)]
+    # time travel: the pre-merge snapshot is untouched
+    old = sorted(tuple(r) for r in wh.read("t", snapshot=snap0).collect())
+    assert old == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # merge into a missing table == create
+    wh.merge("t2", upd, "k")
+    assert sorted(r.k for r in wh.read("t2").collect()) == [2, 9]
+    # composite key: only the exact (k, s) pair is replaced
+    wh2 = Warehouse(str(tmp_path / "wh2"), spark)
+    wh2.overwrite("t", spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11)], "k long, s string, v long"))
+    wh2.merge("t", spark.createDataFrame(
+        [(1, "a", 99)], "k long, s string, v long"), ["k", "s"])
+    assert sorted(tuple(r) for r in wh2.read("t").collect()) == [
+        (1, "a", 99), (1, "b", 11)]
