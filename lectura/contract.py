@@ -2756,6 +2756,54 @@ def norm_dedup_q13(spark, sf_dir):
     return normalized_dedup_groups(docs.unionByName(mutants))
 
 
+# Q15 — PMI collocations: the ratio inside ln() is assembled from
+# exact integer counts in a frozen multiplication order, so both
+# engines hand ln() the identical double; 4dp + (a, b) tiebreaks make
+# the global top-20 engine-invariant.
+@q(
+    "pmi_collocations_q15",
+    """
+    WITH toks AS (
+      SELECT list_filter(
+               string_split_regex(lower(coalesce(text, '')),
+                                  '[^a-z0-9]+'), t -> t <> '') AS l
+      FROM documents
+    ), uni AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(l) AS term FROM toks) GROUP BY 1
+    ), pairs AS (
+      SELECT z[1] AS a, z[2] AS b
+      FROM (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+            FROM toks WHERE len(l) >= 2)
+    ), bi AS (
+      SELECT a, b, count(*) AS c_ab FROM pairs
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), tot AS (
+      SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS n_tok,
+             CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_bi
+    ), scored AS (
+      SELECT a, b, c_ab AS n_ab,
+             round(ln(CAST(c_ab AS DOUBLE) * n_tok * n_tok
+                      / (CAST(n_bi AS DOUBLE) * ua.c * ub.c)), 4)
+               + 0.0 AS pmi
+      FROM bi JOIN uni ua ON bi.a = ua.term
+              JOIN uni ub ON bi.b = ub.term, tot
+    ), ranked AS (
+      SELECT a, b, n_ab, pmi,
+             row_number() OVER (ORDER BY pmi DESC, a, b) AS rank
+      FROM scored
+    )
+    SELECT a, b, n_ab, pmi, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def pmi_collocations_q15(spark, sf_dir):
+    from lectura.textops import pmi_collocations
+
+    return pmi_collocations(t(spark, sf_dir, "documents"), k=20,
+                            min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # S11 — sitemap ingestion: deterministic sitemap XML built from the
 # supplier table (urlset entries with optional lastmod/priority, blank

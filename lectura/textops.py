@@ -1217,3 +1217,67 @@ def normalized_dedup_groups(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").alias("n_copies"), F.min("id").alias("keeper"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI(a,b) = ln( p(ab) /
+    (p(a)·p(b)) ) with p(ab) = c_ab/N_bi over adjacent ordered pairs
+    and p(a) = c_a/N_tok over unigrams. The ratio is assembled from
+    EXACT integer counts in a fixed multiplication order —
+    (c_ab·N_tok·N_tok) / (N_bi·c_a·c_b) — so both engines feed ln()
+    the identical double; the result rounds to 4dp with (a, b)
+    tiebreaks, making the top-k set and ranks engine-invariant. Pairs
+    below `min_count` are pruned before any join. Returns
+    (a, b, n_ab, pmi, rank).
+
+    Scale shape: bigram and unigram counts are two partial-aggregating
+    explode→groupBys (map-side combine); the two scalar totals ride a
+    broadcast; unigram counts attach by plain equi-joins on a then b
+    (vocabulary-sized sides — AQE broadcasts them when small, shuffles
+    when web-scale; never a driver collect); min_count prunes the
+    bigram table BEFORE the joins; global top-k is orderBy+limit
+    (TakeOrderedAndProject) and the rank window sees k rows."""
+    from pyspark.sql import Window
+
+    toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
+    sz = F.size(toks)
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        df.select(F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )).alias("p"))
+        .select("p.a", "p.b")
+    )
+    bi = (
+        pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
+        pairs.agg(F.count("*").alias("n_bi")))
+    scored = (
+        bi.join(uni.select(F.col("term").alias("a"),
+                           F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("term").alias("b"),
+                         F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a", "b", F.col("c_ab").alias("n_ab"),
+            (F.round(F.log(
+                F.col("c_ab").cast("double") * F.col("n_tok")
+                * F.col("n_tok")
+                / (F.col("n_bi").cast("double") * F.col("c_a")
+                   * F.col("c_b"))), 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

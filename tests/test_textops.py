@@ -1239,3 +1239,52 @@ def test_mm_byte_hist_matches_pure(spark):
     assert got == sorted(want)
     # 'é' is 2 bytes (0xC3 0xA9) → bins 12 and 10 present for doc 3
     assert (3, 12, 1) in got and (3, 10, 1) in got
+
+
+def test_pmi_collocations_matches_pure(spark):
+    """Pure-Python PMI reference with the same frozen arithmetic
+    order; min_count prunes, ranks tiebreak on (a, b), NULL/short
+    docs contribute nothing, identical at 1 and 16 partitions; plan
+    must end in a distributed partial top-k."""
+    import math
+    import re
+    from collections import Counter
+
+    from lectura.textops import pmi_collocations
+
+    rows = [
+        (1, "big data big data big data"),
+        (2, "big data pipeline"),
+        (3, "data big"),
+        (4, None),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, k=10, min_count=2)
+    got = [(r.a, r.b, r.n_ab, r.pmi, r.rank) for r in out.collect()]
+
+    uni, bi = Counter(), Counter()
+    n_bi = 0
+    for _, t in rows:
+        toks = [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+        uni.update(toks)
+        prs = list(zip(toks, toks[1:]))
+        bi.update(prs)
+        n_bi += len(prs)
+    n_tok = sum(uni.values())
+    scored = sorted(
+        ((a, b, c, round(math.log(float(c) * n_tok * n_tok
+                                  / (float(n_bi) * uni[a] * uni[b])), 4)
+          + 0.0)
+         for (a, b), c in bi.items() if c >= 2),
+        key=lambda x: (-x[3], x[0], x[1]))
+    want = [(a, b, c, p, r) for r, (a, b, c, p) in enumerate(scored[:10], 1)]
+    assert got == want
+    assert ("big", "data") == (got[0][0], got[0][1])  # the collocation wins
+
+    got16 = [(r.a, r.b, r.n_ab, r.pmi, r.rank)
+             for r in pmi_collocations(df.repartition(16), k=10,
+                                       min_count=2).collect()]
+    assert got16 == got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
