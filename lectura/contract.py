@@ -2756,6 +2756,35 @@ def norm_dedup_q13(spark, sf_dir):
     return normalized_dedup_groups(docs.unionByName(mutants))
 
 
+# F14 — salted skew-join: the explicitly-salted two-phase join must
+# produce EXACTLY the plain join's rows (the salt spreads hot keys
+# over n_salt tasks and never reaches the output); the oracle is the
+# unsalted SQL join.
+@q(
+    "salted_join_f14",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def salted_join_f14(spark, sf_dir):
+    from lectura.frontier import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, o, "o_orderkey", n_salt=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+             .alias("qty_cents"))
+    )
+
+
 # Q15 — PMI collocations: the ratio inside ln() is assembled from
 # exact integer counts in a frozen multiplication order, so both
 # engines hand ln() the identical double; 4dp + (a, b) tiebreaks make

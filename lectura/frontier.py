@@ -322,3 +322,38 @@ def blocklist_filter(urls: DataFrame, blocklist: DataFrame,
         "url", "host", matched.alias("matched_domain"),
         matched.isNotNull().alias("blocked"),
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str | list[str],
+                n_salt: int = 8, how: str = "inner") -> DataFrame:
+    """F14 — skew-safe equi-join by key salting (the classic hot-key
+    mitigation AQE's skewJoin applies adaptively, exposed as an
+    explicit operator for when the skew is KNOWN up front — e.g.
+    joining a link table against pages where one mega-host owns 10% of
+    all rows): every left row gets one of `n_salt` salts, the right
+    side is replicated once per salt, and the join runs on
+    (key…, salt) so a hot key's rows spread over `n_salt` tasks
+    instead of one straggler. The salt never reaches the output and
+    the result set is EXACTLY the plain join's (each left row joins
+    the single right replica carrying its salt).
+
+    Only inner and left joins are supported: each left row exists
+    under exactly one salt, so left-outer semantics survive salting;
+    right/full would see the right side's replicas as distinct
+    unmatched rows. The left salt is pmod(xxhash64(random-ish row
+    id)) — its distribution affects task balance only, never the
+    result. Cost: the right side scans/shuffles n_salt×, so use it
+    when right is small-ish but past broadcast size — the exact
+    regime where one hot left key otherwise serializes the stage."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+               F.lit(n_salt)))
+    r = right.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.lit(n_salt - 1).cast("long"))))
+    return l.join(r, keys + ["_salt"], how).drop("_salt")

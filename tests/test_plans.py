@@ -436,3 +436,32 @@ def test_tfidf_top_terms_plan_shape(spark):
               if b.startswith("WindowGroupLimit")]
     assert any("Partial" in b for b in limits), plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_salted_join_plan_and_key(spark):
+    """salted_join must (1) join on (key, _salt) — the salt actually
+    participates in the exchange hash, spreading a hot key — (2) carry
+    a Generate (explode) on the replicated right side, and (3) never
+    emit _salt in the output schema."""
+    import pyspark.sql.functions as F
+
+    from lectura.frontier import salted_join
+
+    # parquet-backed sides so ConvertToLocalRelation cannot pre-fold the
+    # replication explode out of the physical plan
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    left = nat.select(F.col("n_regionkey").alias("k"),
+                      F.col("n_nationkey").alias("v"))
+    right = (spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+             .select(F.col("r_regionkey").alias("k"),
+                     F.col("r_name").alias("w")))
+    out = salted_join(left, right, "k", n_salt=4)
+    assert out.columns == ["k", "v", "w"]
+    plan = plan_of(out)
+    assert "Generate" in plan and "explode" in plan, plan
+    keys = [ln for ln in plan.splitlines()
+            if ln.strip().startswith(("Left keys", "Right keys"))]
+    assert keys and all("_salt" in ln for ln in keys), plan
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want and len(got) == 25
