@@ -2785,6 +2785,37 @@ def salted_join_f14(spark, sf_dir):
     )
 
 
+# Q16 — blocked fuzzy matching: both engines compute the classic
+# Wagner-Fischer levenshtein on 24-char lowercased prefixes within
+# 4-char blocks; exact integer distances, so hashes match bit-for-bit.
+# 25 natural pairs at sf0.01 (several docs share identical prefixes).
+@q(
+    "fuzzy_pairs_q16",
+    """
+    WITH keyed AS (
+      SELECT doc_id AS id, lower(substring(text, 1, 24)) AS key,
+             substring(lower(substring(text, 1, 24)), 1, 4) AS block
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ), blocks AS (
+      SELECT block FROM keyed GROUP BY 1 HAVING count(*) <= 1000
+    ), c AS (
+      SELECT a.id AS d1, b.id AS d2,
+             levenshtein(a.key, b.key) AS dist
+      FROM keyed a JOIN blocks USING (block)
+           , keyed b
+      WHERE a.block = b.block AND a.id < b.id
+        AND b.block IN (SELECT block FROM blocks)
+    )
+    SELECT d1, d2, CAST(dist AS BIGINT) AS dist FROM c WHERE dist <= 3
+    """,
+)
+def fuzzy_pairs_q16(spark, sf_dir):
+    from lectura.textops import fuzzy_pairs
+
+    out = fuzzy_pairs(t(spark, sf_dir, "documents"), max_dist=3)
+    return out.select("d1", "d2", F.col("dist").cast("long").alias("dist"))
+
+
 # Q15 — PMI collocations: the ratio inside ln() is assembled from
 # exact integer counts in a frozen multiplication order, so both
 # engines hand ln() the identical double; 4dp + (a, b) tiebreaks make

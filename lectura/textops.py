@@ -1281,3 +1281,44 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     topk = scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
     w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def fuzzy_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 24,
+                block_len: int = 4, max_block: int | None = 1000,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Blocked fuzzy matching (the standard entity-resolution blocking
+    + edit-distance verify, e.g. near-identical titles/URLs that
+    byte-exact and shingle dedup both miss): key = lowercased
+    `prefix_len`-char prefix; candidate pairs share a
+    `block_len`-char blocking key; a pair survives iff
+    levenshtein(key_a, key_b) <= max_dist. Blocking trades recall for
+    tractability — pairs differing inside the first `block_len` chars
+    are not candidates (the documented blocking blind spot; run a
+    second pass with a different block, e.g. a suffix, to close it).
+    NULL/empty text emits no key. Returns (d1, d2, dist) with
+    d1 < d2.
+
+    Scale shape: the all-pairs comparison never happens — candidates
+    come from an equi-join on the blocking key; `max_block` drops
+    blocks larger than the cap (COUNTED into the plan via a groupBy
+    prune, never silent O(b²) — the max_df discipline); levenshtein is
+    a JVM binary expression on the joined pairs only."""
+    key = F.lower(F.substring(F.col(text_col), 1, prefix_len))
+    keyed = (
+        df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+        .select(F.col(id_col).alias("id"), key.alias("key"),
+                F.substring(key, 1, block_len).alias("block"))
+    )
+    if max_block is not None:
+        ok = (keyed.groupBy("block").agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_block).select("block"))
+        keyed = keyed.join(ok, "block")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
+                F.levenshtein(F.col("a.key"), F.col("b.key")).alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )

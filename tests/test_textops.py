@@ -1288,3 +1288,50 @@ def test_pmi_collocations_matches_pure(spark):
     assert got16 == got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_pairs_matches_pure(spark):
+    """Pure-Python blocked levenshtein reference: pairs share a 4-char
+    block, classic edit distance on 24-char lowered prefixes, the
+    blocking blind spot is real (a pair differing in char 1 is NOT
+    found), max_block drops saturated blocks, NULL/empty emit
+    nothing."""
+    from lectura.textops import fuzzy_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over"),
+        (2, "the quick brown fox jumps far"),    # dist 0 on 24-prefix
+        (3, "the quick brawn fox leaps"),        # small dist, same block
+        (4, "xhe quick brown fox jumps over"),   # differs in char 1 → blind
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    keys = {i: t[:24].lower() for i, t in rows if t}
+    want = sorted(
+        (a, b, lev(keys[a], keys[b]))
+        for a in keys for b in keys
+        if a < b and keys[a][:4] == keys[b][:4]
+        and lev(keys[a], keys[b]) <= 3)
+    got = sorted(tuple(r) for r in fuzzy_pairs(df, max_dist=3).collect())
+    assert got == want
+    assert (1, 2, 0) in got and not any(4 in (p[0], p[1]) for p in got)
+
+    # saturated block dropped under max_block, kept without a cap
+    many = df.unionByName(spark.createDataFrame(
+        [(100 + i, "the copy %d" % i) for i in range(9)],
+        "doc_id long, text string"))
+    capped = fuzzy_pairs(many, max_dist=30, max_block=5).collect()
+    assert not any(r.d1 >= 100 or r.d2 >= 100 for r in capped)
+    uncapped = fuzzy_pairs(many, max_dist=30, max_block=None).count()
+    assert uncapped > len(capped)
