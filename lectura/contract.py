@@ -2030,6 +2030,33 @@ def stream_join_st9(spark, sf_dir):
     return streaming.collect_stream(joined, spark, output_mode="append")
 
 
+# ST10 — stream-static enrichment join, streamed (append; stateless —
+# the static dim broadcasts, the stream side never shuffles)
+_DIM_ROWS = [("click", "engage", 2.0), ("view", "engage", 1.0),
+             ("purchase", "convert", 10.0), ("signup", "convert", 5.0)]
+
+
+@q(
+    "stream_enrich_st10",
+    """
+    SELECT event_id, event_type, category,
+           round(value * weight, 4) + 0.0 AS weighted_value
+    FROM events
+    JOIN (VALUES ('click', 'engage', 2.0), ('view', 'engage', 1.0),
+                 ('purchase', 'convert', 10.0), ('signup', 'convert', 5.0))
+         AS dim(event_type, category, weight)
+    USING (event_type)
+    """,
+)
+def stream_enrich_st10(spark, sf_dir):
+    from lectura import streaming
+
+    dim = spark.createDataFrame(
+        _DIM_ROWS, "event_type string, category string, weight double")
+    joined = streaming.enrich_events(_event_stream(spark, sf_dir), dim)
+    return streaming.collect_stream(joined, spark, output_mode="append")
+
+
 # ST2 — tumbling-window metrics, streamed (complete mode ⇒ watermark is
 # advisory, so the full-input result equals the batch aggregation)
 @q(

@@ -274,6 +274,24 @@ def view_click_attribution(events: DataFrame, horizon: str = "30 minutes",
     )
 
 
+def enrich_events(events: DataFrame, dim: DataFrame,
+                  key: str = "event_type") -> DataFrame:
+    """ST10 — stream-static enrichment join: the streaming side joins a
+    static (batch) dimension — the lookup-table shape (event_type →
+    category/weight here; url → robots verdict in the crawl). Stream-
+    static inner joins are STATELESS (each micro-batch joins the
+    current static snapshot; no watermark, no join state), so the
+    static side can broadcast and the stream side never shuffles.
+    Emits one row per stream row with the dim columns attached plus
+    weighted_value = round(value * weight, 4)."""
+    return (
+        events.join(F.broadcast(dim), key)
+        .select("event_id", key, "category",
+                (F.round(F.col("value") * F.col("weight"), 4)
+                 + F.lit(0.0)).alias("weighted_value"))
+    )
+
+
 def collect_stream(
     df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

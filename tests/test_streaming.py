@@ -255,3 +255,33 @@ def test_stream_join_state_across_batches_and_late_drop(spark, tmp_path):
         for so in p["stateOperators"]
     )
     assert dropped >= 1
+
+
+# --- ST10: stream-static join is stateless --------------------------------
+
+def test_stream_static_join_stateless(spark, tmp_path):
+    """Two micro-batches enriched against a static dim must equal the
+    batch join, with ZERO stateful operators (stream-static inner
+    joins keep no state — the whole point vs stream-stream)."""
+    watch = str(tmp_path / "events_in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(watch, 0, [
+        _ev(1, "2026-01-01 10:00:00", etype="view", uid=1, value=3.0),
+        _ev(2, "2026-01-01 10:01:00", etype="error", uid=1, value=9.0),
+    ], EVENT_PA_SCHEMA)
+    _write_batch(watch, 1, [
+        _ev(3, "2026-01-01 10:02:00", etype="click", uid=2, value=2.5),
+    ], EVENT_PA_SCHEMA)
+
+    dim = spark.createDataFrame(
+        [("view", "engage", 1.0), ("click", "engage", 2.0)],
+        "event_type string, category string, weight double")
+    ev = streaming.read_event_stream(spark, watch, max_files_per_trigger=1)
+    q = streaming.run_available_now(
+        streaming.enrich_events(ev, dim), sink, ckpt)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    # 'error' has no dim row → dropped by the inner join
+    assert got == [(1, "view", "engage", 3.0), (3, "click", "engage", 5.0)]
+    assert all(not p["stateOperators"] for p in q.recentProgress)
