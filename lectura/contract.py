@@ -2812,6 +2812,35 @@ def salted_join_f14(spark, sf_dir):
     )
 
 
+# Q17 — training-window chunking: whitespace tokens, chunk i =
+# tokens[i*stride : i*stride+window] (overlapping at stride<window),
+# re-joined on single spaces — both engines slice identically.
+@q(
+    "chunk_docs_q17",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), idx AS (
+      SELECT doc_id, l,
+             unnest(range(0, (len(l) - 1) // 24 + 1)) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(l[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(l[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk
+    FROM idx
+    """,
+)
+def chunk_docs_q17(spark, sf_dir):
+    from lectura.textops import chunk_documents
+
+    return chunk_documents(t(spark, sf_dir, "documents"), window=32,
+                           stride=24)
+
+
 # Q16 — blocked fuzzy matching: both engines compute the classic
 # Wagner-Fischer levenshtein on 24-char lowercased prefixes within
 # 4-char blocks; exact integer distances, so hashes match bit-for-bit.

@@ -1322,3 +1322,44 @@ def fuzzy_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 24,
                 F.levenshtein(F.col("a.key"), F.col("b.key")).alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Training-window chunking (the context-packing step before
+    tokenization — GPT-style pretraining cuts documents into
+    fixed-size windows, usually with overlap so no span is only ever
+    seen split): whitespace tokens, chunk i covers tokens
+    [i·stride, i·stride + window); stride < window ⇒ overlapping
+    windows, stride == window ⇒ disjoint; the last window may be
+    short; a doc shorter than one window yields exactly one chunk;
+    NULL/blank docs yield none. Returns (id, chunk_id, n_tokens,
+    chunk) with chunk re-joined on single spaces.
+
+    Scale shape: zero shuffle — the split / transform-over-sequence /
+    slice / concat_ws chain is all scan-stage JVM expressions and each
+    doc's chunks materialize inside its own partition (the
+    c4_quality_rules discipline); downstream shard packing handles
+    placement."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    w = words(F.col(text_col))
+    sz = F.size(w)
+    n_chunks = (F.floor((sz - 1) / F.lit(stride)) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.size(F.slice(w, i * stride + 1, window)).cast("long")
+             .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(w, i * stride + 1, window))
+             .alias("chunk"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull()
+                  & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.n_tokens", "c.chunk")
+    )

@@ -1335,3 +1335,45 @@ def test_fuzzy_pairs_matches_pure(spark):
     assert not any(r.d1 >= 100 or r.d2 >= 100 for r in capped)
     uncapped = fuzzy_pairs(many, max_dist=30, max_block=None).count()
     assert uncapped > len(capped)
+
+
+def test_chunk_documents_matches_pure(spark):
+    """Pure-Python chunking reference: overlap (stride < window),
+    short tail, short-doc single chunk, NULL/blank drop, coverage (the
+    concatenation of stride-prefixes reconstructs the doc), zero
+    Exchange in the plan."""
+    from lectura.textops import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, None),
+        (4, "   "),
+        (5, "only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=4, stride=3)
+    got = sorted((r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
+                 for r in out.collect())
+
+    want = []
+    for i, t in rows:
+        toks = (t or "").split()
+        if not toks:
+            continue
+        for c in range((len(toks) - 1) // 3 + 1):
+            part = toks[c * 3:c * 3 + 4]
+            want.append((i, c, len(part), " ".join(part)))
+    assert got == sorted(want)
+    # overlap: doc 1 chunk 0 = w0..w3, chunk 1 starts at w3
+    d1 = {c: t for did, c, _n, t in got if did == 1}
+    assert d1[0].endswith("w3") and d1[1].startswith("w3")
+    # doc-level reconstruction from stride-prefixes
+    rebuilt = " ".join(" ".join(d1[c].split()[:3]) for c in sorted(d1))
+    assert rows[0][1].startswith(rebuilt.rsplit(" ", 1)[0])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
