@@ -2812,6 +2812,38 @@ def salted_join_f14(spark, sf_dir):
     )
 
 
+# Q18 — training-mix report: per-source doc/token totals, token share
+# (4dp), cumulative share in (share DESC, source) order; the ordered
+# cumulative sum adds identical 4dp-rounded doubles in the identical
+# order on both engines, so the running values hash-match.
+@q(
+    "mix_report_q18",
+    """
+    WITH per AS (
+      SELECT coalesce(source, '(none)') AS source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                      THEN len(string_split_regex(trim(text), '\\s+'))
+                      ELSE 0 END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), f AS (
+      SELECT source, n_docs, n_tokens,
+             round(n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT), 4)
+               + 0.0 AS token_frac
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens, token_frac,
+           round(sum(token_frac)
+                 OVER (ORDER BY token_frac DESC, source), 4) + 0.0
+             AS cum_frac
+    FROM f
+    """,
+)
+def mix_report_q18(spark, sf_dir):
+    from lectura.textops import mix_report
+
+    return mix_report(t(spark, sf_dir, "documents"))
+
+
 # Q17 — training-window chunking: whitespace tokens, chunk i =
 # tokens[i*stride : i*stride+window] (overlapping at stride<window),
 # re-joined on single spaces — both engines slice identically.

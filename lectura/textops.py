@@ -1363,3 +1363,44 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
         .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(id_col, "c.chunk_id", "c.n_tokens", "c.chunk")
     )
+
+
+def mix_report(df: DataFrame, group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Training-mix report (the per-source token accounting every
+    data-mixture decision starts from — Pile/Dolma-style source
+    tables): per group, document and whitespace-token totals, the
+    group's token share of the corpus (4dp), and the cumulative share
+    in (share DESC, group ASC) order — the curve mixture tuning reads.
+    NULL group folds to '(none)'; NULL/blank text counts 0 tokens but
+    the doc still counts. Returns (group, n_docs, n_tokens,
+    token_frac, cum_frac).
+
+    Scale shape: ONE partial-aggregating groupBy over doc rows (token
+    counts computed scan-stage via size(split)); the share/cumulative
+    windows run over group-cardinality rows only — at 10^8-host
+    grouping swap the cumulative window for the SEL2 range-partition
+    prefix sum, same note as domain_quality_agg."""
+    from pyspark.sql import Window
+
+    nt = F.when(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""),
+        F.size(words(F.col(text_col)))).otherwise(F.lit(0))
+    per = (
+        df.select(F.coalesce(F.col(group_col), F.lit("(none)"))
+                  .alias("grp"), nt.alias("nt"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    wall = Window.partitionBy()
+    frac = F.round(F.col("n_tokens")
+                   / F.sum("n_tokens").over(wall), 4) + F.lit(0.0)
+    ordered = Window.orderBy(F.desc("token_frac"), F.asc("grp"))
+    return (
+        per.withColumn("token_frac", frac)
+        .withColumn("cum_frac",
+                    F.round(F.sum("token_frac").over(ordered), 4)
+                    + F.lit(0.0))
+        .select(F.col("grp").alias(group_col), "n_docs", "n_tokens",
+                "token_frac", "cum_frac")
+    )

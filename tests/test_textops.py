@@ -1377,3 +1377,37 @@ def test_chunk_documents_matches_pure(spark):
 
     with __import__("pytest").raises(ValueError):
         chunk_documents(df, window=4, stride=5)
+
+
+def test_mix_report_matches_pure(spark):
+    """Pure-Python mix accounting: NULL source folds to '(none)',
+    NULL/blank text counts 0 tokens but the doc counts, shares round
+    to 4dp, cumulative share follows (share DESC, group ASC)."""
+    from lectura.textops import mix_report
+
+    rows = [
+        (1, "a", "one two three"),
+        (2, "a", None),
+        (3, "b", "one two three four five six"),
+        (4, None, "x"),
+        (5, "b", "  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = [(r.source, r.n_docs, r.n_tokens, r.token_frac, r.cum_frac)
+           for r in mix_report(df).collect()]
+
+    agg = {}
+    for _, s, t in rows:
+        g = s if s is not None else "(none)"
+        d = agg.setdefault(g, [0, 0])
+        d[0] += 1
+        d[1] += len(t.split()) if t and t.strip() else 0
+    total = sum(v[1] for v in agg.values())
+    fr = {g: round(v[1] / total, 4) + 0.0 for g, v in agg.items()}
+    order = sorted(agg, key=lambda g: (-fr[g], g))
+    want, cum = [], 0.0
+    for g in order:
+        cum = round(cum + fr[g], 4) + 0.0
+        want.append((g, agg[g][0], agg[g][1], fr[g], cum))
+    assert sorted(got) == sorted(want)
+    assert abs(want[-1][4] - 1.0) < 2e-3
