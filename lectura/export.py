@@ -56,6 +56,7 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                   sample_default_rate: float = 0.0,
                   sample_salt: str = "",
                   shard_tokens: int | None = None,
+                  chunk: tuple[int, int] | None = None,
                   out_table: str = "train_docs",
                   n_parts: int = 32) -> dict:
     """Materialize the crawl's extracted text as train-ready shards.
@@ -88,7 +89,12 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     prefix sum computed on the slim (url, n_tokens) projection — the
     text column stays out of pack_shards' pinned checkpoint — and the
     write hash-clusters by shard_id (every shard wholly in one
-    partition; one text shuffle, same as the url layout)."""
+    partition; one text shuffle, same as the url layout);
+    `chunk=(window, stride)` re-cuts each surviving doc into
+    training-context windows (textops.chunk_documents — zero-shuffle
+    scan-stage explode, doc metadata inherited per chunk, no join
+    back) BEFORE shard packing, which then packs on the unique
+    (url, chunk_id) key."""
     docs = wh.read("text").select(*EXPORT_COLS)
     gated = docs.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -179,6 +185,23 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
         out = stratified_sample(out, "url", sample_rates, "lang_guess",
                                 default_rate=sample_default_rate,
                                 salt=sample_salt)
+    if chunk is not None:
+        from lectura.textops import chunk_documents
+
+        window, stride = chunk
+        meta = tuple(c for c in out.columns
+                     if c not in ("url", "text", "n_tokens"))
+        out = (
+            chunk_documents(out, window=window, stride=stride,
+                            id_col="url", text_col="text",
+                            keep_cols=meta)
+            .withColumnRenamed("chunk", "text")
+            # downstream (packing, writes) needs one unique key per
+            # row; '#' is safe as separator — U1 canonicalization
+            # strips fragments, so no canonical url contains it
+            .withColumn("url", F.concat_ws("#", "url",
+                                           F.col("chunk_id").cast("string")))
+        )
     if shard_tokens:
         from lectura.sampling import pack_shards
 
@@ -209,6 +232,15 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
              "n_hot_buckets_dropped": n_hot}
     if bench is not None:
         stats["n_contaminated_dropped"] = int(n_contaminated)
+    if chunk is not None:
+        # docs-in derived from the written composite keys (slim scan of
+        # one column), NOT a pre-write count() that would re-run the
+        # whole gating+dedup lineage a second time
+        stats["chunk"] = list(chunk)
+        stats["n_chunked_docs"] = int(
+            wh.read(out_table)
+            .select(F.substring_index("url", "#", 1).alias("u"))
+            .distinct().count())
     if shard_tokens:
         n_shards = wh.read(out_table).agg(
             (F.max("shard_id") + 1).alias("n")).head()["n"]
@@ -254,6 +286,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sample-salt", default="")
     ap.add_argument("--shard-tokens", type=int, default=None,
                     help="pack docs into shards of ~this many tokens")
+    ap.add_argument("--chunk", default=None,
+                    help="re-cut surviving docs into training windows "
+                         "'WINDOW:STRIDE' (e.g. 512:384) before packing")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -281,6 +316,8 @@ def main(argv: list[str] | None = None) -> int:
         bench=bench, contam_n=args.contam_ngram,
         sample_rates=sample_rates, sample_default_rate=sample_default,
         sample_salt=args.sample_salt, shard_tokens=args.shard_tokens,
+        chunk=(tuple(int(x) for x in args.chunk.split(":"))
+               if args.chunk else None),
     )
     print(json.dumps(stats))
     return 0

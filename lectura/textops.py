@@ -1325,8 +1325,8 @@ def fuzzy_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 24,
 
 
 def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
-                    id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    keep_cols: tuple = ()) -> DataFrame:
     """Training-window chunking (the context-packing step before
     tokenization — GPT-style pretraining cuts documents into
     fixed-size windows, usually with overlap so no span is only ever
@@ -1336,6 +1336,10 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
     short; a doc shorter than one window yields exactly one chunk;
     NULL/blank docs yield none. Returns (id, chunk_id, n_tokens,
     chunk) with chunk re-joined on single spaces.
+
+    `keep_cols` passes doc-level metadata columns through to every
+    chunk row WITHOUT a join back (the chunks inherit them inside the
+    same projection).
 
     Scale shape: zero shuffle — the split / transform-over-sequence /
     slice / concat_ws chain is all scan-stage JVM expressions and each
@@ -1360,8 +1364,8 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
     return (
         df.filter(F.col(text_col).isNotNull()
                   & (F.trim(F.col(text_col)) != ""))
-        .select(F.col(id_col), F.explode(chunks).alias("c"))
-        .select(id_col, "c.chunk_id", "c.n_tokens", "c.chunk")
+        .select(F.col(id_col), *keep_cols, F.explode(chunks).alias("c"))
+        .select(id_col, *keep_cols, "c.chunk_id", "c.n_tokens", "c.chunk")
     )
 
 

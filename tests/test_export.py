@@ -191,3 +191,49 @@ def test_export_selection_stages(spark, text_wh, tmp_path):
         run += n_tok
     assert stats["n_shards"] == rows[-1][2] + 1 > 1
     assert stats["n_docs"] == len(kept)
+
+
+def test_export_chunked_windows(spark, text_wh):
+    """--chunk re-cuts surviving docs into overlapping training windows
+    before packing: every chunk ≤ window tokens, stride-prefixes
+    reconstruct each doc, metadata is inherited per chunk, composite
+    keys are unique, and packing operates on chunk keys."""
+    wh, docs = text_wh
+    base = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                         out_table="chunk_base")
+    survivors = {r.url: r for r in wh.read("chunk_base").collect()}
+
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                          chunk=(16, 12), shard_tokens=64,
+                          out_table="chunk_out")
+    rows = [r for r in wh.read("chunk_out").collect()]
+    keys = [r.url for r in rows]
+    assert len(keys) == len(set(keys))                 # unique chunk keys
+    assert stats["n_chunked_docs"] == len(survivors)
+    assert stats["chunk"] == [16, 12]
+
+    per_doc: dict[str, dict[int, object]] = {}
+    for r in rows:
+        u, cid = r.url.rsplit("#", 1)
+        assert r.n_tokens == len(r.text.split()) <= 16
+        assert int(cid) == r.chunk_id
+        per_doc.setdefault(u, {})[r.chunk_id] = r
+    assert set(per_doc) == set(survivors)
+    for u, chunks in per_doc.items():
+        # contiguous chunk ids, stride-prefix reconstruction
+        assert sorted(chunks) == list(range(len(chunks)))
+        toks = []
+        for c in sorted(chunks):
+            part = chunks[c].text.split()
+            toks.extend(part[:12] if c < len(chunks) - 1 else part)
+        assert " ".join(toks) == " ".join(docs[u].split())
+        # doc-level metadata inherited on every chunk
+        assert all(chunks[c].lang_guess == survivors[u].lang_guess
+                   and chunks[c].cluster_size == survivors[u].cluster_size
+                   for c in chunks)
+    # shard ids follow the prefix sum over chunk keys
+    srows = sorted((r.url, r.n_tokens, r.shard_id) for r in rows)
+    run = 0
+    for _, n_tok, sid in srows:
+        assert sid == run // 64
+        run += n_tok
