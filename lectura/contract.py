@@ -2812,6 +2812,9 @@ def salted_join_f14(spark, sf_dir):
     )
 
 
+# (Q17's chunk count stops at the first end-reaching window —
+# CASE WHEN len<=W THEN 1 ELSE ceil((len-W)/S)+1 — matching the Spark
+# side: a tail window contained in its predecessor is never emitted.)
 # Q18 — training-mix report: per-source doc/token totals, token share
 # (4dp), cumulative share in (share DESC, source) order; the ordered
 # cumulative sum adds identical 4dp-rounded doubles in the identical
@@ -2855,7 +2858,9 @@ def mix_report_q18(spark, sf_dir):
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ), idx AS (
       SELECT doc_id, l,
-             unnest(range(0, (len(l) - 1) // 24 + 1)) AS chunk_id
+             unnest(range(0, CASE WHEN len(l) <= 32 THEN 1
+                       ELSE CAST(ceil((len(l) - 32) / 24.0) AS BIGINT)
+                            + 1 END)) AS chunk_id
       FROM toks
     )
     SELECT doc_id, chunk_id,

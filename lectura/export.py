@@ -233,11 +233,14 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     if bench is not None:
         stats["n_contaminated_dropped"] = int(n_contaminated)
     if chunk is not None:
-        # docs-in derived from the written composite keys (slim scan of
-        # one column), NOT a pre-write count() that would re-run the
-        # whole gating+dedup lineage a second time
+        # n_docs must keep meaning DOCUMENTS whether or not --chunk ran
+        # (consumers compare the stats line across runs): rows written
+        # move to n_chunks, and the doc count derives from the written
+        # composite keys (slim one-column scan — never a pre-write
+        # count() re-running the whole gating+dedup lineage)
         stats["chunk"] = list(chunk)
-        stats["n_chunked_docs"] = int(
+        stats["n_chunks"] = stats["n_docs"]
+        stats["n_docs"] = int(
             wh.read(out_table)
             .select(F.substring_index("url", "#", 1).alias("u"))
             .distinct().count())
@@ -286,7 +289,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sample-salt", default="")
     ap.add_argument("--shard-tokens", type=int, default=None,
                     help="pack docs into shards of ~this many tokens")
-    ap.add_argument("--chunk", default=None,
+    def _chunk_arg(v: str) -> tuple[int, int]:
+        parts = v.split(":")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise argparse.ArgumentTypeError(
+                f"--chunk wants 'WINDOW:STRIDE' (e.g. 512:384), got {v!r}")
+        w, s = int(parts[0]), int(parts[1])
+        if not 0 < s <= w:
+            raise argparse.ArgumentTypeError(
+                f"--chunk needs 0 < STRIDE <= WINDOW, got {v!r}")
+        return w, s
+
+    ap.add_argument("--chunk", default=None, type=_chunk_arg,
                     help="re-cut surviving docs into training windows "
                          "'WINDOW:STRIDE' (e.g. 512:384) before packing")
     ap.add_argument("--master", default=None)
@@ -316,8 +330,7 @@ def main(argv: list[str] | None = None) -> int:
         bench=bench, contam_n=args.contam_ngram,
         sample_rates=sample_rates, sample_default_rate=sample_default,
         sample_salt=args.sample_salt, shard_tokens=args.shard_tokens,
-        chunk=(tuple(int(x) for x in args.chunk.split(":"))
-               if args.chunk else None),
+        chunk=args.chunk,
     )
     print(json.dumps(stats))
     return 0

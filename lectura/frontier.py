@@ -347,6 +347,10 @@ def salted_join(left: DataFrame, right: DataFrame, on: str | list[str],
     regime where one hot left key otherwise serializes the stage."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename the "
+            "input column (silently clobbering it would corrupt data)")
     keys = [on] if isinstance(on, str) else list(on)
     l = left.withColumn(
         "_salt",

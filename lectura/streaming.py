@@ -282,7 +282,10 @@ def enrich_events(events: DataFrame, dim: DataFrame,
     static inner joins are STATELESS (each micro-batch joins the
     current static snapshot; no watermark, no join state), so the
     static side can broadcast and the stream side never shuffles.
-    Emits one row per stream row with the dim columns attached plus
+    INNER join: a stream row whose key has no dim entry is dropped —
+    callers tracking row-count-preserving telemetry should pass a dim
+    covering every key or switch the join to 'left' themselves. Emits
+    one row per MATCHED stream row with the dim columns attached plus
     weighted_value = round(value * weight, 4)."""
     return (
         events.join(F.broadcast(dim), key)

@@ -1234,7 +1234,8 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     (a, b, n_ab, pmi, rank).
 
     Scale shape: bigram and unigram counts are two partial-aggregating
-    explode→groupBys (map-side combine); the two scalar totals ride a
+    explode→groupBys (map-side combine); the two scalar totals come
+    from ONE slim no-explode scan (Σsz / Σmax(sz−1,0)) and ride a
     broadcast; unigram counts attach by plain equi-joins on a then b
     (vocabulary-sized sides — AQE broadcasts them when small, shuffles
     when web-scale; never a driver collect); min_count prunes the
@@ -1261,8 +1262,13 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
         pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
-    totals = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
-        pairs.agg(F.count("*").alias("n_bi")))
+    # both scalar totals from ONE slim no-explode scan (Σsz and
+    # Σmax(sz−1,0) equal the unigram/bigram sums exactly) — aggregating
+    # the uni/pairs lineages instead would re-run their corpus-wide
+    # explodes just to count them, the DSIR re-derivation trap
+    totals = df.select(sz.alias("_sz")).agg(
+        F.sum("_sz").alias("n_tok"),
+        F.sum(F.greatest(F.col("_sz") - 1, F.lit(0))).alias("n_bi"))
     scored = (
         bi.join(uni.select(F.col("term").alias("a"),
                            F.col("c").alias("c_a")), "a")
@@ -1332,10 +1338,15 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
     fixed-size windows, usually with overlap so no span is only ever
     seen split): whitespace tokens, chunk i covers tokens
     [i·stride, i·stride + window); stride < window ⇒ overlapping
-    windows, stride == window ⇒ disjoint; the last window may be
-    short; a doc shorter than one window yields exactly one chunk;
-    NULL/blank docs yield none. Returns (id, chunk_id, n_tokens,
-    chunk) with chunk re-joined on single spaces.
+    windows, stride == window ⇒ disjoint; chunking stops at the FIRST
+    window reaching the end of the doc (n_chunks = 1 if sz ≤ window
+    else ceil((sz−window)/stride)+1), so every chunk contributes new
+    tokens and no emitted window is contained in its predecessor — the
+    naive floor((sz−1)/stride)+1 form double-weights tail spans; the
+    last window may be short; a doc shorter than one window yields
+    exactly one chunk; NULL/blank docs yield none. Returns (id,
+    chunk_id, n_tokens, chunk) with chunk re-joined on single
+    spaces.
 
     `keep_cols` passes doc-level metadata columns through to every
     chunk row WITHOUT a join back (the chunks inherit them inside the
@@ -1350,7 +1361,8 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
     w = words(F.col(text_col))
     sz = F.size(w)
-    n_chunks = (F.floor((sz - 1) / F.lit(stride)) + 1).cast("int")
+    n_chunks = F.when(sz <= window, F.lit(1)).otherwise(
+        F.ceil((sz - window) / F.lit(stride)) + 1).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(

@@ -209,7 +209,9 @@ def test_export_chunked_windows(spark, text_wh):
     rows = [r for r in wh.read("chunk_out").collect()]
     keys = [r.url for r in rows]
     assert len(keys) == len(set(keys))                 # unique chunk keys
-    assert stats["n_chunked_docs"] == len(survivors)
+    # n_docs still counts DOCUMENTS under --chunk; rows move to n_chunks
+    assert stats["n_docs"] == len(survivors)
+    assert stats["n_chunks"] == len(rows) > len(survivors)
     assert stats["chunk"] == [16, 12]
 
     per_doc: dict[str, dict[int, object]] = {}

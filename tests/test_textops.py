@@ -1356,15 +1356,22 @@ def test_chunk_documents_matches_pure(spark):
     got = sorted((r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
                  for r in out.collect())
 
+    import math
+
     want = []
     for i, t in rows:
         toks = (t or "").split()
         if not toks:
             continue
-        for c in range((len(toks) - 1) // 3 + 1):
+        n = 1 if len(toks) <= 4 else math.ceil((len(toks) - 4) / 3) + 1
+        for c in range(n):
             part = toks[c * 3:c * 3 + 4]
             want.append((i, c, len(part), " ".join(part)))
     assert got == sorted(want)
+    # no emitted window is contained in its predecessor: doc 1 has 10
+    # tokens → chunks start at 0, 3, 6 (covering to token 10) and STOP;
+    # the naive start-9 tail (tokens 9..9 ⊂ chunk 2's 6..9) never appears
+    assert max(c for did, c, _n, _t in got if did == 1) == 2
     # overlap: doc 1 chunk 0 = w0..w3, chunk 1 starts at w3
     d1 = {c: t for did, c, _n, t in got if did == 1}
     assert d1[0].endswith("w3") and d1[1].startswith("w3")
