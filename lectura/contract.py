@@ -2878,6 +2878,22 @@ def chunk_docs_q17(spark, sf_dir):
                            stride=24)
 
 
+# D7 — count-min-sketch heavy hitters: deterministic sketch (xxhash64
+# row hashes, exact integer counters) so the estimate table — not just
+# a property — hash-matches the pure-SQL oracle; w=64 forces real
+# collisions at the fixture vocabulary, exercising over-estimation.
+_CMS_CANDIDATES = ["data", "the", "scan", "window", "spark", "batch",
+                   "merge", "sort", "zzzzabsent"]
+
+
+@q("cms_heavy_hitters_d7", _osql.cms_sql(_CMS_CANDIDATES, k=9, d=4, w=64))
+def cms_heavy_hitters_d7(spark, sf_dir):
+    from lectura.textops import cms_heavy_hitters
+
+    return cms_heavy_hitters(t(spark, sf_dir, "documents"),
+                             _CMS_CANDIDATES, k=9, d=4, w=64)
+
+
 # Q16 — blocked fuzzy matching: both engines compute the classic
 # Wagner-Fischer levenshtein on 24-char lowercased prefixes within
 # 4-char blocks; exact integer distances, so hashes match bit-for-bit.

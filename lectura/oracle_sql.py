@@ -761,3 +761,40 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
          AND n_required_stops >= {min_required_stops}, false) AS keep
 FROM m
 """
+
+
+def cms_sql(candidates: list[str], k: int = 10, d: int = 4,
+            w: int = 1024) -> str:
+    """Count-min-sketch oracle (mirrors textops.cms_heavy_hitters):
+    DISTINCT corpus terms ∪ candidates hashed once per sketch row via
+    the pure-SQL xxhash64 chain on `term || '|' || r`; counters from
+    the occurrence stream joined back; estimate = min over rows of the
+    candidate's counters (0 when a bucket is empty)."""
+    vals = ", ".join(f"('{t}')" for t in candidates)
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t <> '')) AS term
+  FROM documents
+), cand AS (SELECT * FROM (VALUES {vals}) c(term)),
+dg AS (SELECT DISTINCT term FROM toks UNION SELECT term FROM cand),
+reps AS (SELECT term, r, term || '|' || CAST(r AS VARCHAR) AS s
+         FROM dg, range(0, {d}) t(r)),
+{xxhash64_ctes('reps', 's')},
+hb AS (SELECT term, r, {pmod('xx', w)} AS bucket FROM x7),
+counters AS (
+  SELECT r, bucket, count(*) AS cnt
+  FROM toks JOIN hb USING (term) GROUP BY 1, 2
+), est AS (
+  SELECT c.term, CAST(min(coalesce(k.cnt, 0)) AS BIGINT) AS est
+  FROM cand c JOIN hb USING (term)
+  LEFT JOIN counters k USING (r, bucket)
+  GROUP BY 1
+), ranked AS (
+  SELECT term, est, row_number() OVER (ORDER BY est DESC, term) AS rank
+  FROM est
+)
+SELECT term, est, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

