@@ -2878,6 +2878,32 @@ def chunk_docs_q17(spark, sf_dir):
                            stride=24)
 
 
+# Q19 — the SQL-text face: ONE shared ANSI string (TPC-H Q1 shape,
+# cents-exact sums per the S12 money discipline) evaluated VERBATIM by
+# spark.sql over registered temp views AND by DuckDB as its own
+# oracle — the two engines parse, plan and execute the same SQL.
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_c,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("sql_tpch_q19", _TPCH_Q1_SQL)
+def sql_tpch_q19(spark, sf_dir):
+    from lectura.sqlapi import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q1_SQL)
+
+
 # D7 — count-min-sketch heavy hitters: deterministic sketch (xxhash64
 # row hashes, exact integer counters) so the estimate table — not just
 # a property — hash-matches the pure-SQL oracle; w=64 forces real

@@ -465,3 +465,25 @@ def test_salted_join_plan_and_key(spark):
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in left.join(right, "k").collect())
     assert got == want and len(got) == 25
+
+
+def test_sql_view_scan_keeps_pushdown(spark):
+    """The SQL face must not cost plan quality: a filtered projection
+    through a registered temp view still reaches the parquet scan as
+    PushedFilters + a pruned ReadSchema, identical to the direct
+    read."""
+    from lectura.sqlapi import run_sql
+
+    df = run_sql(
+        spark, "/root/testdata/sf0.001",
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), " in plan, plan
+    assert "GreaterThan(l_quantity,45.0)" in plan, plan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1], plan
+    # re-registration is idempotent
+    n1 = df.count()
+    n2 = run_sql(spark, "/root/testdata/sf0.001",
+                 "SELECT l_orderkey FROM lineitem "
+                 "WHERE l_quantity > 45.0").count()
+    assert n1 == n2 > 0
