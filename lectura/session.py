@@ -25,6 +25,10 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     "spark.sql.session.timeZone": "UTC",
+    # Python DataSource filter pushdown (S16 lectura_warc: pushed
+    # lang/url filters prune index rows before any packfile byte is
+    # read); off by default in Spark 4, no effect on other plans.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Broadcast threshold covers robots rule tables and bloom-shard dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",

@@ -1,0 +1,136 @@
+"""S16 — custom Python DataSource for the WARC packfile corpus
+(the Spark 4 `pyspark.sql.datasource` V2 API): after registration,
+
+    spark.dataSource.register(WarcDataSource)
+    df = (spark.read.format("lectura_warc")
+          .option("index", "<dir-or-file of the slim parquet index>")
+          .load())
+
+yields (url, warc_ts, lang, html) with bodies inflated from the
+packfiles — the corpus becomes a first-class readable table instead of
+an extraction-pipeline internal.
+
+Scale shape: ONE InputPartition per packfile (each task reads its
+segment sequentially — the locality/IO unit the writer laid down);
+partition planning happens driver-side over the SLIM index only (url,
+pointer, len — never bodies); `pushFilters` accepts EqualTo/In on
+`lang` and `url`, so a pushed filter prunes index rows BEFORE any body
+byte is read, and fully-filtered packfiles are never opened (the
+partition list drops them). Unsupported filters are returned to Spark,
+which evaluates them on top — pushdown is a pure IO saving, never a
+semantics change.
+
+Provenance: /root/reference was empty at survey time (SURVEY.md §0);
+the packfile layout is this repo's own (synth_spark.py:
+materialize_corpus_warc), the API is public PySpark 4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+SCHEMA = "url string, warc_ts timestamp, lang string, html binary"
+
+
+@dataclass
+class _Segment(InputPartition):
+    """One packfile + its (already filter-pruned) slim index rows:
+    (url, warc_ts, lang, offset, length), offset-sorted so the task
+    reads the file front-to-back."""
+
+    path: str
+    rows: list
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.index = options.get("index")
+        if not self.index:
+            raise ValueError("lectura_warc requires .option('index', path)")
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        rest = []
+        for f in filters:
+            if (isinstance(f, (EqualTo, In))
+                    and f.attribute in (("lang",), ("url",))):
+                self._pushed.append(f)
+            else:
+                rest.append(f)
+        return rest
+
+    def _keep(self, url: str, lang: str) -> bool:
+        for f in self._pushed:
+            v = lang if f.attribute == ("lang",) else url
+            if isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            else:
+                # In.value is the tuple of accepted values
+                if v not in f.value:
+                    return False
+        return True
+
+    def partitions(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        paths = [self.index]
+        if os.path.isdir(self.index):
+            paths = sorted(
+                os.path.join(self.index, f)
+                for f in os.listdir(self.index)
+                if f.endswith(".parquet")
+            )
+        from datetime import timezone
+
+        segs: dict[str, list] = {}
+        for p in paths:
+            t = pq.read_table(p, columns=["url", "warc_ts", "lang",
+                                          "warc_file", "warc_offset",
+                                          "warc_len"])
+            for r in t.to_pylist():
+                if not self._keep(r["url"], r["lang"]):
+                    continue
+                ts = r["warc_ts"]
+                if ts is not None and ts.tzinfo is None:
+                    # parquet stores UTC instants; the Arrow worker
+                    # needs tz-aware values to convert back
+                    ts = ts.replace(tzinfo=timezone.utc)
+                segs.setdefault(r["warc_file"], []).append(
+                    (r["url"], ts, r["lang"],
+                     r["warc_offset"], r["warc_len"]))
+        return [
+            _Segment(path, sorted(rows, key=lambda x: x[3]))
+            for path, rows in sorted(segs.items())
+        ]
+
+    def read(self, partition: _Segment):
+        import gzip
+
+        with open(partition.path, "rb") as f:
+            for url, ts, lang, off, ln in partition.rows:
+                f.seek(off)
+                yield (url, ts, lang, gzip.decompress(f.read(ln)))
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lectura_warc"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> WarcReader:
+        return WarcReader(dict(self.options))

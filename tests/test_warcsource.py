@@ -1,0 +1,73 @@
+"""S16 — custom Python DataSource over WARC packfiles: byte-exact
+round trip, index-level filter pushdown, partition pruning."""
+
+import hashlib
+
+import pytest
+
+from lectura.synth import SynthParams
+from lectura.synth_spark import materialize_corpus_warc, pages_df
+from lectura.warcsource import WarcDataSource, WarcReader
+
+
+@pytest.fixture(scope="module")
+def warc_corpus(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("warcsrc")
+    p = SynthParams(n_urls=120, n_hosts=6)
+    meta, _, _ = materialize_corpus_warc(spark, p, str(tmp / "warc"),
+                                         parallelism=3)
+    meta.write.parquet(str(tmp / "index"))
+    spark.dataSource.register(WarcDataSource)
+    return p, str(tmp / "index")
+
+
+def test_warc_source_roundtrip_byte_exact(spark, warc_corpus):
+    """The custom source must return the exact bytes the writer packed
+    (sha-compared against the html-layout generator) with the full
+    (url, warc_ts, lang, html) schema and tz-faithful timestamps."""
+    p, index = warc_corpus
+    df = spark.read.format("lectura_warc").option("index", index).load()
+    assert df.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,lang:string,html:binary>")
+    got = {r.url: (hashlib.sha256(r.html).hexdigest(), r.warc_ts, r.lang)
+           for r in df.collect()}
+    want = {r.url: (hashlib.sha256(r.html).hexdigest(), r.warc_ts,
+                    r.lang)
+            for r in pages_df(spark, p, gzip_html=False).collect()}
+    assert got == want and len(got) > 100
+
+
+def test_warc_source_filter_pushdown_prunes_index(spark, warc_corpus):
+    """EqualTo/In on lang or url prune index rows driver-side (and can
+    drop whole packfiles from the partition list); unsupported filters
+    are handed back to Spark; pushed + residual evaluation yields the
+    same rows as the unpushed plan."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    p, index = warc_corpus
+    rdr = WarcReader({"index": index})
+    rest = rdr.pushFilters([EqualTo(("lang",), "de"),
+                            GreaterThan(("warc_ts",), 0)])
+    assert [type(f).__name__ for f in rest] == ["GreaterThan"]
+    total = sum(len(s.rows) for s in WarcReader({"index": index})
+                .partitions())
+    pruned = sum(len(s.rows) for s in rdr.partitions())
+    assert 0 < pruned < total
+
+    one_url = WarcReader({"index": index})
+    df = spark.read.format("lectura_warc").option("index", index).load()
+    some_url = df.take(1)[0].url
+    one_url.pushFilters([In(("url",), (some_url,))])
+    parts = one_url.partitions()
+    assert sum(len(s.rows) for s in parts) == 1
+    assert len(parts) == 1  # every other packfile dropped, never opened
+
+    # end-to-end: a pushed lang filter returns exactly the lang subset
+    en = df.filter(df.lang == "en")
+    want = {r.url for r in df.collect() if r.lang == "en"}
+    assert {r.url for r in en.collect()} == want and want
+
+
+def test_warc_source_requires_index_option(spark, warc_corpus):
+    with pytest.raises(Exception, match="index"):
+        spark.read.format("lectura_warc").load().collect()
