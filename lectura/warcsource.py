@@ -32,10 +32,12 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = "url string, warc_ts timestamp, lang string, html binary"
@@ -134,3 +136,102 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> "WarcWriter":
+        return WarcWriter(dict(self.options), overwrite)
+
+
+@dataclass
+class _SegCommit(WriterCommitMessage):
+    """One task's output: the packfile it wrote + the TEMP index part
+    holding that packfile's slim rows. Only parts the driver receives
+    here get promoted at commit — a failed/zombie attempt's files stay
+    in the staging dir and are never read."""
+
+    packfile: str
+    index_tmp: str
+    n_rows: int
+
+
+class WarcWriter(DataSourceWriter):
+    """`df.write.format("lectura_warc").option("path", dir).save()` —
+    the sink half of S16: each task packs its rows' html as
+    concatenated gzip members into one `seg-*.warc.gz` and stages a
+    slim index part; the driver's `commit()` promotes exactly the
+    staged parts of SUCCESSFUL attempts into `<dir>/index/` (the
+    FileCommitProtocol shape: task attempts stage under unique
+    attempt-ids, the driver publishes the chosen set, readers take the
+    index as the source of truth, so orphan packfiles from failed
+    attempts are unreachable rather than corrupting)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lectura_warc write requires "
+                             ".option('path', dir)")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import gzip
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        att = f"{tc.partitionId():05d}-{tc.taskAttemptId()}"
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        pack = os.path.join(self.path, f"seg-{att}.warc.gz")
+        tmp = os.path.join(self.path, "_staging",
+                           f"part-{att}-{uuid.uuid4().hex}.parquet")
+        idx = {"url": [], "warc_ts": [], "lang": [], "warc_file": [],
+               "warc_offset": [], "warc_len": []}
+        off = 0
+        with open(pack, "wb") as out:
+            for r in rows:
+                blob = gzip.compress(bytes(r.html), compresslevel=1)
+                out.write(blob)
+                idx["url"].append(r.url)
+                idx["warc_ts"].append(r.warc_ts)
+                idx["lang"].append(r.lang)
+                idx["warc_file"].append(pack)
+                idx["warc_offset"].append(off)
+                idx["warc_len"].append(len(blob))
+                off += len(blob)
+        pq.write_table(
+            pa.table(idx, schema=pa.schema([
+                ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                ("lang", pa.string()), ("warc_file", pa.string()),
+                ("warc_offset", pa.int64()), ("warc_len", pa.int32()),
+            ])), tmp)
+        return _SegCommit(pack, tmp, len(idx["url"]))
+
+    def commit(self, messages):
+        import json
+        import os
+
+        idx_dir = os.path.join(self.path, "index")
+        os.makedirs(idx_dir, exist_ok=True)
+        n = 0
+        for i, m in enumerate(messages):
+            os.replace(m.index_tmp,
+                       os.path.join(idx_dir, f"part-{i:05d}.parquet"))
+            n += m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"n_rows": n,
+                       "packfiles": sorted(m.packfile for m in messages)},
+                      f)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None:
+                for p in (m.index_tmp, m.packfile):
+                    if os.path.exists(p):
+                        os.remove(p)
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)

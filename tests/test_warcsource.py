@@ -71,3 +71,39 @@ def test_warc_source_filter_pushdown_prunes_index(spark, warc_corpus):
 def test_warc_source_requires_index_option(spark, warc_corpus):
     with pytest.raises(Exception, match="index"):
         spark.read.format("lectura_warc").load().collect()
+
+
+def test_warc_writer_roundtrip_and_commit_protocol(spark, tmp_path):
+    """df.write.format('lectura_warc') → packfiles + committed index:
+    read-back is byte-exact; the manifest counts every row; the staging
+    dir drains at commit (only driver-promoted parts are readable)."""
+    import datetime as dt
+    import json
+    import os
+
+    spark.dataSource.register(WarcDataSource)
+    rows = [(f"http://h{i % 3}.example/p{i}",
+             dt.datetime(2026, 1, 1, i % 24, tzinfo=dt.timezone.utc),
+             "en" if i % 4 else "de",
+             (f"<html>page {i} " + "x" * (100 + i) + "</html>").encode())
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, html binary"
+    ).repartition(4)
+    out = str(tmp_path / "out")
+    df.write.format("lectura_warc").option("path", out).mode(
+        "append").save()
+
+    back = spark.read.format("lectura_warc").option(
+        "index", f"{out}/index").load()
+    a = {r.url: (hashlib.sha256(r.html).hexdigest(), r.lang, r.warc_ts)
+         for r in df.collect()}
+    b = {r.url: (hashlib.sha256(r.html).hexdigest(), r.lang, r.warc_ts)
+         for r in back.collect()}
+    assert a == b and len(b) == 50
+    man = json.load(open(f"{out}/_MANIFEST.json"))
+    assert man["n_rows"] == 50 and len(man["packfiles"]) == 4
+    assert os.listdir(f"{out}/_staging") == []
+    # missing path option fails fast
+    with pytest.raises(Exception, match="path"):
+        df.write.format("lectura_warc").mode("append").save()
