@@ -2904,6 +2904,43 @@ def sql_tpch_q19(spark, sf_dir):
     return run_sql(spark, sf_dir, _TPCH_Q1_SQL)
 
 
+# X8/Q20 — Python UDTF surface: the registered table function runs
+# through spark.sql LATERAL; the oracle re-derives the same sentence
+# rows relationally with the identical dialect-safe regexes.
+@q(
+    "sentence_udtf_q20",
+    r"""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_split_to_array(text, '[.!?]+\s+'),
+                 x -> regexp_replace(regexp_replace(x, '[.!?]+$', ''),
+                                     '^\s+|\s+$', '', 'g')),
+               x -> x <> '') AS sents
+      FROM documents WHERE text IS NOT NULL
+    ), e AS (
+      SELECT doc_id, unnest(range(len(sents))) AS sent_id,
+             unnest(sents) AS sentence
+      FROM l
+    )
+    SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id, sentence,
+           CAST(len(string_split_regex(sentence, '\s+')) AS BIGINT)
+             AS n_words
+    FROM e
+    """,
+)
+def sentence_udtf_q20(spark, sf_dir):
+    from lectura.sqlapi import register_views
+    from lectura.textops import sentence_udtf
+
+    register_views(spark, sf_dir, tables=("documents",))
+    spark.udtf.register("split_sentences", sentence_udtf())
+    return spark.sql(
+        "SELECT d.doc_id, s.* FROM documents d, "
+        "LATERAL split_sentences(d.text) s")
+
+
 # D7 — count-min-sketch heavy hitters: deterministic sketch (xxhash64
 # row hashes, exact integer counters) so the estimate table — not just
 # a property — hash-matches the pure-SQL oracle; w=64 forces real

@@ -1476,3 +1476,46 @@ def cms_heavy_hitters(df: DataFrame, candidates: list[str], k: int = 10,
     topk = est.orderBy(F.desc("est"), F.asc("term")).limit(k)
     win = Window.orderBy(F.desc("est"), F.asc("term"))
     return topk.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
+def sentence_udtf():
+    """X8 — Python UDTF (the Spark 4 `@udtf` table-function surface):
+    one input doc row → one output row per sentence. The split rule is
+    deliberately dialect-safe (no lookbehind — RE2 has none):
+    sentences = text split on `[.!?]+\\s+` runs, trimmed, empties
+    dropped, trailing terminal punctuation of the LAST sentence
+    stripped the same way (split only fires on punct+space, so a
+    doc-final '.' stays attached unless stripped — both engines strip
+    `[.!?]+$`). Emits (sent_id 0-based, sentence, n_words). NULL text
+    yields no rows.
+
+    Register + call from SQL:
+        spark.udtf.register("split_sentences", sentence_udtf())
+        SELECT d.doc_id, s.* FROM documents d,
+               LATERAL split_sentences(d.text) s
+
+    Scale shape: a UDTF runs row-local in the scan stage (no shuffle);
+    it is the Python seam for per-row expansion logic too stateful for
+    built-in explode expressions — here it doubles as the API-surface
+    proof, with the SQL oracle re-deriving the same rows
+    relationally."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id long, sentence string, n_words long")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for raw in re.split(r"[.!?]+\s+", text):
+                # explicit edge-trim regex, not .strip(): the oracle
+                # runs the IDENTICAL dialect-safe pattern
+                s = re.sub(r"^\s+|\s+$", "",
+                           re.sub(r"[.!?]+$", "", raw))
+                if s:
+                    yield i, s, len(s.split())
+                    i += 1
+
+    return SplitSentences

@@ -1447,3 +1447,41 @@ def test_cms_heavy_hitters_properties(spark):
     assert exact == {t: true.get(t, 0) for t in cands}
     order = sorted(got, key=lambda t: (-got[t][0], t))
     assert [got[t][1] for t in order] == [1, 2, 3, 4]
+
+
+def test_sentence_udtf_matches_pure(spark):
+    """The UDTF yields per-sentence rows identical to the pure-Python
+    rule (dialect-safe split, per-piece tail-punct strip + edge trim,
+    0-based ids over NON-empty sentences only); NULL yields nothing;
+    works through both the SQL LATERAL face and the DataFrame lateralJoin."""
+    import re
+
+    from lectura.textops import sentence_udtf
+
+    rows = [
+        (1, "Hello world. How are you?  Fine!"),
+        (2, None),
+        (3, "no terminal punct here"),
+        (4, "!!.  ??  "),                # only punct/space → no rows
+        (5, "a.b stays one... next"),    # no space after '.' → no split
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("split_sentences", sentence_udtf())
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT d.doc_id, s.* FROM udtf_docs d, "
+        "LATERAL split_sentences(d.text) s").collect())
+
+    want = []
+    for i, t in rows:
+        if t is None:
+            continue
+        sid = 0
+        for raw in re.split(r"[.!?]+\s+", t):
+            s = re.sub(r"^\s+|\s+$", "", re.sub(r"[.!?]+$", "", raw))
+            if s:
+                want.append((i, sid, s, len(s.split())))
+                sid += 1
+    assert got == sorted(want)
+    assert (5, 0, "a.b stays one", 3) in got
+    assert not any(r[0] in (2, 4) for r in got)
