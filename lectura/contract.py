@@ -2901,7 +2901,7 @@ _TPCH_Q1_SQL = """
 def sql_tpch_q19(spark, sf_dir):
     from lectura.sqlapi import run_sql
 
-    return run_sql(spark, sf_dir, _TPCH_Q1_SQL)
+    return run_sql(spark, sf_dir, _TPCH_Q1_SQL, tables=("lineitem",))
 
 
 # X8/Q20 — Python UDTF surface: the registered table function runs

@@ -770,7 +770,13 @@ def cms_sql(candidates: list[str], k: int = 10, d: int = 4,
     the pure-SQL xxhash64 chain on `term || '|' || r`; counters from
     the occurrence stream joined back; estimate = min over rows of the
     candidate's counters (0 when a bucket is empty)."""
-    vals = ", ".join(f"('{t}')" for t in candidates)
+    # quote-escape + first-occurrence dedup, matching the Spark side's
+    # dedup so a repeated candidate cannot rank twice on one engine only
+    seen: list[str] = []
+    for t in candidates:
+        if t not in seen:
+            seen.append(t)
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in seen)
     return f"""
 WITH toks AS (
   SELECT unnest(list_filter(

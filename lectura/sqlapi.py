@@ -36,7 +36,10 @@ def register_views(spark: SparkSession, sf_dir: str,
     return done
 
 
-def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """Register the standard views, then evaluate one SQL string."""
-    register_views(spark, sf_dir)
+def run_sql(spark: SparkSession, sf_dir: str, sql: str,
+            tables: tuple[str, ...] = TABLES) -> DataFrame:
+    """Register the views (pass `tables` to register only what the
+    query touches — each registration is a driver-side schema read),
+    then evaluate one SQL string."""
+    register_views(spark, sf_dir, tables)
     return spark.sql(sql)

@@ -1445,6 +1445,7 @@ def cms_heavy_hitters(df: DataFrame, candidates: list[str], k: int = 10,
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    candidates = list(dict.fromkeys(candidates))  # first-occurrence dedup
     toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
 
     def buckets(term_col):
@@ -1481,13 +1482,16 @@ def cms_heavy_hitters(df: DataFrame, candidates: list[str], k: int = 10,
 def sentence_udtf():
     """X8 — Python UDTF (the Spark 4 `@udtf` table-function surface):
     one input doc row → one output row per sentence. The split rule is
-    deliberately dialect-safe (no lookbehind — RE2 has none):
-    sentences = text split on `[.!?]+\\s+` runs, trimmed, empties
-    dropped, trailing terminal punctuation of the LAST sentence
-    stripped the same way (split only fires on punct+space, so a
-    doc-final '.' stays attached unless stripped — both engines strip
-    `[.!?]+$`). Emits (sent_id 0-based, sentence, n_words). NULL text
-    yields no rows.
+    deliberately dialect-safe (no lookbehind — RE2 has none — and the
+    whitespace class is the EXPLICIT ASCII set `[ \\t\\n\\r\\f]`, not
+    Python's Unicode-matching `\\s`, so the rule stays identical under
+    RE2/DuckDB on any input, not just ASCII fixtures): sentences =
+    text split on punct+whitespace runs, edge-trimmed, empties
+    dropped, trailing terminal punctuation stripped per piece (split
+    only fires on punct+space, so a doc-final '.' stays attached
+    unless stripped — both engines strip `[.!?]+$`). Emits (sent_id
+    0-based, sentence, n_words counted on the same ASCII class). NULL
+    text yields no rows.
 
     Register + call from SQL:
         spark.udtf.register("split_sentences", sentence_udtf())
@@ -1503,19 +1507,22 @@ def sentence_udtf():
 
     from pyspark.sql.functions import udtf
 
+    ws = r"[ \t\n\r\f]"  # RE2's \s — Python's \s would match U+00A0 etc.
+
     @udtf(returnType="sent_id long, sentence string, n_words long")
     class SplitSentences:
         def eval(self, text: str):
             if text is None:
                 return
             i = 0
-            for raw in re.split(r"[.!?]+\s+", text):
+            for raw in re.split(rf"[.!?]+{ws}+", text):
                 # explicit edge-trim regex, not .strip(): the oracle
                 # runs the IDENTICAL dialect-safe pattern
-                s = re.sub(r"^\s+|\s+$", "",
+                s = re.sub(rf"^{ws}+|{ws}+$", "",
                            re.sub(r"[.!?]+$", "", raw))
                 if s:
-                    yield i, s, len(s.split())
+                    n_words = len([x for x in re.split(rf"{ws}+", s) if x])
+                    yield i, s, n_words
                     i += 1
 
     return SplitSentences

@@ -120,6 +120,11 @@ class WarcReader(DataSourceReader):
     def read(self, partition: _Segment):
         import gzip
 
+        if partition is None:
+            # pyspark substitutes [None] when partitions() returns []
+            # (every index row filter-pruned / empty index): zero rows,
+            # not a crash
+            return
         with open(partition.path, "rb") as f:
             for url, ts, lang, off, ln in partition.rows:
                 f.seek(off)
@@ -165,11 +170,17 @@ class WarcWriter(DataSourceWriter):
     attempts are unreachable rather than corrupting)."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("lectura_warc write requires "
                              ".option('path', dir)")
         self.overwrite = overwrite
+        # one id per write job, fixed driver-side and pickled to every
+        # task: append-mode part/packfile names can never collide with
+        # an earlier write's, and overwrite knows which files are "ours"
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, rows):
         import gzip
@@ -181,7 +192,7 @@ class WarcWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        att = f"{tc.partitionId():05d}-{tc.taskAttemptId()}"
+        att = f"{self.job_id}-{tc.partitionId():05d}-{tc.taskAttemptId()}"
         os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
         pack = os.path.join(self.path, f"seg-{att}.warc.gz")
         tmp = os.path.join(self.path, "_staging",
@@ -214,15 +225,35 @@ class WarcWriter(DataSourceWriter):
 
         idx_dir = os.path.join(self.path, "index")
         os.makedirs(idx_dir, exist_ok=True)
+        if self.overwrite:
+            # overwrite = this job replaces the table: clear every
+            # previously-committed index part and packfile BEFORE
+            # promoting ours (readers take the index as truth, so the
+            # part removal is the operative step)
+            for f in os.listdir(idx_dir):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(idx_dir, f))
+            for f in os.listdir(self.path):
+                if (f.startswith("seg-") and f.endswith(".warc.gz")
+                        and not f.startswith(f"seg-{self.job_id}-")):
+                    os.remove(os.path.join(self.path, f))
         n = 0
+        packs = []
         for i, m in enumerate(messages):
-            os.replace(m.index_tmp,
-                       os.path.join(idx_dir, f"part-{i:05d}.parquet"))
+            os.replace(
+                m.index_tmp,
+                os.path.join(idx_dir,
+                             f"part-{self.job_id}-{i:05d}.parquet"))
             n += m.n_rows
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
-            json.dump({"n_rows": n,
-                       "packfiles": sorted(m.packfile for m in messages)},
-                      f)
+            packs.append(m.packfile)
+        man_path = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(man_path):
+            with open(man_path) as f:
+                old = json.load(f)
+            n += old.get("n_rows", 0)
+            packs.extend(old.get("packfiles", []))
+        with open(man_path, "w") as f:
+            json.dump({"n_rows": n, "packfiles": sorted(packs)}, f)
 
     def abort(self, messages):
         import os

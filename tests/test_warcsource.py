@@ -107,3 +107,56 @@ def test_warc_writer_roundtrip_and_commit_protocol(spark, tmp_path):
     # missing path option fails fast
     with pytest.raises(Exception, match="path"):
         df.write.format("lectura_warc").mode("append").save()
+
+
+def test_warc_source_fully_pruned_filter_returns_zero_rows(spark,
+                                                           warc_corpus):
+    """A pushed filter that prunes EVERY index row must yield an empty
+    result, not crash (pyspark substitutes [None] for an empty
+    partition list and calls read(None))."""
+    _, index = warc_corpus
+    df = spark.read.format("lectura_warc").option("index", index).load()
+    assert df.filter(df.lang == "zz").count() == 0
+    assert df.filter(df.url == "http://nowhere.example/").count() == 0
+
+
+def test_warc_writer_append_and_overwrite_modes(spark, tmp_path):
+    """append accumulates (unique per-job part names, manifest totals
+    grow); overwrite replaces (old index parts AND packfiles cleared,
+    manifest reset) — a re-read sees exactly the expected rows."""
+    import datetime as dt
+    import json
+    import os
+
+    spark.dataSource.register(WarcDataSource)
+
+    def mk(tag, n):
+        rows = [(f"http://{tag}.example/p{i}",
+                 dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), "en",
+                 f"<html>{tag} {i}</html>".encode()) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, lang string, html binary"
+        ).repartition(2)
+
+    out = str(tmp_path / "out")
+    mk("a", 6).write.format("lectura_warc").option("path", out).mode(
+        "append").save()
+    mk("b", 4).write.format("lectura_warc").option("path", out).mode(
+        "append").save()
+    back = spark.read.format("lectura_warc").option(
+        "index", f"{out}/index").load()
+    urls = {r.url for r in back.collect()}
+    assert len(urls) == 10 and any("//a." in u for u in urls)
+    assert json.load(open(f"{out}/_MANIFEST.json"))["n_rows"] == 10
+
+    mk("c", 3).write.format("lectura_warc").option("path", out).mode(
+        "overwrite").save()
+    back2 = spark.read.format("lectura_warc").option(
+        "index", f"{out}/index").load()
+    assert {r.url for r in back2.collect()} == {
+        f"http://c.example/p{i}" for i in range(3)}
+    man = json.load(open(f"{out}/_MANIFEST.json"))
+    assert man["n_rows"] == 3 and len(man["packfiles"]) == 2
+    # overwritten packfiles are gone from disk, not just unreachable
+    segs = [f for f in os.listdir(out) if f.startswith("seg-")]
+    assert len(segs) == 2
