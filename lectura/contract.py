@@ -2904,6 +2904,39 @@ def sql_tpch_q19(spark, sf_dir):
     return run_sql(spark, sf_dir, _TPCH_Q1_SQL, tables=("lineitem",))
 
 
+# SEL4 — Efraimidis–Spirakis weighted sampling: deterministic keyed
+# uniform (pmod(xxhash64(key|salt), 2^20)+0.5)/2^20, rank key
+# round(ln(u)/w, 9) DESC — both engines pick the identical weighted
+# top-40 of documents by n_chars.
+@q(
+    "weighted_sample_sel4",
+    """
+    WITH src AS (
+      SELECT doc_id, n_chars,
+             CAST(doc_id AS VARCHAR) || '|es1' AS s
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    """ + _osql.xxhash64_ctes("src", "s") + """
+    , keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln(({pm} + 0.5) / 1048576.0) / n_chars, 9) AS es
+      FROM x7
+    ), ranked AS (
+      SELECT doc_id, n_chars, es,
+             row_number() OVER (ORDER BY es DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, es, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 40
+    """.format(pm=_osql.pmod("xx", 1 << 20)),
+)
+def weighted_sample_sel4(spark, sf_dir):
+    from lectura.sampling import weighted_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=40, salt="es1")
+
+
 # X8/Q20 — Python UDTF surface: the registered table function runs
 # through spark.sql LATERAL; the oracle re-derives the same sentence
 # rows relationally with the identical dialect-safe regexes.

@@ -191,3 +191,38 @@ def dsir_logratios(corpus: DataFrame, target: DataFrame, n: int = 2,
         )
         .select(F.col("id").alias(id_col), "n_grams", "logratio")
     )
+
+
+def weighted_sample(df: DataFrame, key, weight_col: str, k: int,
+                    salt: str = "", m_buckets: int = 1 << 20) -> DataFrame:
+    """SEL4 — deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006: select the top-k rows by
+    u_i^(1/w_i), equivalently by ln(u_i)/w_i): the uniform u_i is a
+    keyed hash, u = (pmod(xxhash64(key‖'|'‖salt), m) + 0.5) / m, so
+    the draw has NO RNG state — same salt ⇒ idempotent resample,
+    different salt ⇒ independent draw (the SEL1 properties carried to
+    the weighted case, e.g. quality-weighted corpus selection). The
+    rank key es = round(ln(u)/w, 9) orders DESC with the row key as
+    tiebreak, so the selected set and ranks are engine- and
+    partitioning-invariant. Rows with NULL or non-positive weight are
+    never selected (filtered — the standard convention; ln(u)/w flips
+    sign at w<0 and divides by zero at w=0).
+
+    Scale shape: the es key is a scan-stage expression (hash + ln);
+    selection is orderBy+limit — TakeOrderedAndProject, a distributed
+    partial top-k, never a full sort; the rank window sees k rows."""
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    s = F.concat(kc.cast("string"), F.lit("|" + salt))
+    u = (F.pmod(F.xxhash64(s), F.lit(m_buckets)).cast("double") + 0.5) \
+        / float(m_buckets)
+    es = F.round(F.log(u) / F.col(weight_col), 9)
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull()
+                  & (F.col(weight_col) > 0))
+        .withColumn("es", es)
+    )
+    topk = keyed.orderBy(F.desc("es"), kc.asc()).limit(k)
+    w = Window.orderBy(F.desc("es"), kc.asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -174,3 +174,46 @@ def test_dsir_logratios_matches_pure(spark):
     assert 4 not in got                       # empty doc yields no grams
     # doc 1 shares "a b"/"b c" mass with the target; doc 2 has none of it
     assert got[1][1] > got[2][1]
+
+
+def test_weighted_sample_es_properties(spark):
+    """Efraimidis–Spirakis invariants: same salt ⇒ identical draw
+    (idempotent, partition-invariant); higher weight at a fixed key ⇒
+    rank never worsens; NULL/non-positive weights never selected;
+    across many salts the heavy row wins k=1 far more often than a
+    light one; plan is a distributed partial top-k."""
+    import pyspark.sql.functions as F
+
+    from lectura.sampling import weighted_sample
+
+    rows = [(1, 1000.0), (2, 1.0), (3, 1.0), (4, None), (5, -2.0),
+            (6, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "id", "w", k=3, salt="a")
+    got = [(r.id, r.rank) for r in out.collect()]
+    assert len(got) == 3 and {g[0] for g in got} <= {1, 2, 3}
+    again = [(r.id, r.rank) for r in
+             weighted_sample(df.repartition(16), "id", "w", k=3,
+                             salt="a").collect()]
+    assert again == got
+
+    # weight monotonicity at fixed key: raising id 2's weight can only
+    # improve (never worsen) its rank position
+    df2 = spark.createDataFrame(
+        [(1, 1000.0), (2, 500.0), (3, 1.0)], "id long, w double")
+    r1 = {r.id: r.rank for r in
+          weighted_sample(df, "id", "w", k=3, salt="a").collect()}
+    r2 = {r.id: r.rank for r in
+          weighted_sample(df2, "id", "w", k=3, salt="a").collect()}
+    assert r2.get(2, 99) <= r1.get(2, 99)
+
+    # statistics across salts: the 1000x row takes k=1 almost always
+    wins = 0
+    for i in range(30):
+        top = weighted_sample(df, "id", "w", k=1,
+                              salt=f"s{i}").collect()[0].id
+        wins += top == 1
+    assert wins >= 25, wins
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
