@@ -2904,6 +2904,79 @@ def sql_tpch_q19(spark, sf_dir):
     return run_sql(spark, sf_dir, _TPCH_Q1_SQL, tables=("lineitem",))
 
 
+# D8 — deterministic HyperLogLog: two labeled rows exercise BOTH
+# estimator branches (customer keys → raw harmonic path, fixture
+# terms → linear-counting small-range path). The harmonic sum is an
+# EXACT integer (Σ 2^(41−M[j])), so register order can't perturb the
+# 4dp estimate, and both engines compute E from the same constants.
+_HLL_CONST = repr(0.709 * 64 * 64 * float(1 << 41))
+
+
+def _hll_oracle_branch(label: str, src_cte: str, pa: str, pb: str) -> str:
+    from lectura import oracle_sql as _o
+
+    return f"""
+a{pa}0 AS (SELECT s0, s0 || '|i' AS s FROM {src_cte}),
+{_o.xxhash64_ctes(f'a{pa}0', 's', out='xi', p=pa)},
+b{pb}0 AS (SELECT s0, xi, s0 || '|r' AS s FROM {pa}7),
+{_o.xxhash64_ctes(f'b{pb}0', 's', out='xr', p=pb)},
+k_{label} AS (
+  SELECT {_o.pmod('xi', 64)} AS j,
+         CASE WHEN {_o.pmod('xr', 1 << 40)} = 0 THEN 41
+              ELSE 40 - length(printf('%b', {_o.pmod('xr', 1 << 40)}))
+                   + 1 END AS rho
+  FROM {pb}7
+), r_{label} AS (
+  SELECT j, max(rho) AS mj FROM k_{label} GROUP BY 1
+), f_{label} AS (
+  SELECT CAST(sum(CAST(pow(2.0, 41 - mj) AS BIGINT)) AS BIGINT)
+           AS s_used,
+         count(*) AS n_used
+  FROM r_{label}
+), e_{label} AS (
+  SELECT '{label}' AS src, 64 AS m, CAST(n_used AS BIGINT) AS v_used,
+         round(CASE WHEN ({_HLL_CONST}
+                          / (s_used + (64 - n_used) * {1 << 41}))
+                         <= 160.0
+                     AND (64 - n_used) > 0
+               THEN 64.0 * ln(64.0 / (64 - n_used))
+               ELSE {_HLL_CONST}
+                    / (s_used + (64 - n_used) * {1 << 41}) END, 4)
+           + 0.0 AS n_est
+  FROM f_{label}
+)"""
+
+
+@q(
+    "hll_estimate_d8",
+    "WITH ck AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS s0 "
+    "FROM customer WHERE c_custkey IS NOT NULL),\n"
+    "tk AS (SELECT DISTINCT t AS s0 FROM (SELECT unnest(list_filter("
+    "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS t FROM documents)),"
+    + _hll_oracle_branch("ck", "ck", "g", "h") + ","
+    + _hll_oracle_branch("tk", "tk", "i", "j") + """
+    SELECT src, CAST(m AS BIGINT) AS m, v_used, n_est FROM e_ck
+    UNION ALL
+    SELECT src, CAST(m AS BIGINT) AS m, v_used, n_est FROM e_tk
+    """,
+)
+def hll_estimate_d8(spark, sf_dir):
+    from lectura.textops import folded_tokens, hll_estimate
+
+    cust = t(spark, sf_dir, "customer")
+    terms = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(
+            folded_tokens(F.col("text"), "[^a-z0-9]+")).alias("t"))
+    )
+    a = hll_estimate(cust, "c_custkey", p=6).select(
+        F.lit("ck").alias("src"), "m", "v_used", "n_est")
+    b = hll_estimate(terms, "t", p=6).select(
+        F.lit("tk").alias("src"), "m", "v_used", "n_est")
+    return a.unionByName(b)
+
+
 # SEL4 — Efraimidis–Spirakis weighted sampling: deterministic keyed
 # uniform (pmod(xxhash64(key|salt), 2^20)+0.5)/2^20, rank key
 # round(ln(u)/w, 9) DESC — both engines pick the identical weighted

@@ -1526,3 +1526,71 @@ def sentence_udtf():
                     i += 1
 
     return SplitSentences
+
+
+def _hll_alpha(m: int) -> float:
+    # the standard HLL bias constants (Flajolet et al. 2007)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_estimate(df: DataFrame, col, p: int = 6,
+                 rho_bits: int = 40) -> DataFrame:
+    """D8 — deterministic HyperLogLog distinct-count estimate
+    (Flajolet, Fusy, Gandon & Meunier 2007), built so the ESTIMATE —
+    not just a bound — hash-matches an independent oracle:
+
+    - register index j = pmod(xxhash64(v‖'|i'), m), rho source
+      h = pmod(xxhash64(v‖'|r'), 2^rho_bits) — two independent keyed
+      hashes instead of bit-splitting one, so every quantity stays a
+      non-negative BIGINT in both engines;
+    - rho = rho_bits − bit_length(h) + 1 (h>0), rho_bits+1 at h=0,
+      with bit_length = length(bin(h)) — integer-exact on both
+      engines, no floating log2 at power-of-two boundaries;
+    - the harmonic sum is computed as the EXACT integer
+      Σ 2^(rho_bits+1−M[j]) (every term a multiple of one ulp, total
+      < m·2^41 — fits a long), so register-order float summation can
+      never perturb the estimate; E = α·m²·2^(rho_bits+1)/S with the
+      standard small-range linear-counting switch
+      (E ≤ 2.5m ∧ V>0 → m·ln(m/V)). Estimate rounds to 4dp.
+
+    Returns one row (m, v_used, n_est). Scale shape: ONE
+    partial-aggregating groupBy(j).max(rho) — register state is
+    fixed-size and mergeable map-side (the HLL point); the final fold
+    runs over ≤ m rows. NULL values are ignored (SQL COUNT DISTINCT
+    convention)."""
+    import math
+
+    m = 1 << p
+    c = col if not isinstance(col, str) else F.col(col)
+    v = c.cast("string")
+    j = F.pmod(F.xxhash64(F.concat(v, F.lit("|i"))), F.lit(m))
+    h = F.pmod(F.xxhash64(F.concat(v, F.lit("|r"))),
+               F.lit(1 << rho_bits))
+    rho = F.when(h == 0, F.lit(rho_bits + 1)).otherwise(
+        F.lit(rho_bits) - F.length(F.bin(h)) + 1)
+    regs = (
+        df.select(j.alias("j"), rho.alias("rho"))
+        .filter(c.isNotNull())
+        .groupBy("j").agg(F.max("rho").alias("mj"))
+    )
+    top = rho_bits + 1
+    folded = regs.agg(
+        F.sum(F.pow(F.lit(2.0), top - F.col("mj")).cast("long"))
+         .alias("s_used"),
+        F.count("*").alias("n_used"),
+    )
+    alpha = _hll_alpha(m)
+    # empty registers contribute 2^-0 = 1 → 2^top each to the integer sum
+    s_total = F.col("s_used") + (m - F.col("n_used")) * (1 << top)
+    v_empty = m - F.col("n_used")
+    e_raw = F.lit(alpha * m * m * float(1 << top)) / s_total
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(e_raw)
+    return folded.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_used").cast("long").alias("v_used"),
+        (F.round(est, 4) + F.lit(0.0)).alias("n_est"),
+    )

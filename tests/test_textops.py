@@ -1485,3 +1485,32 @@ def test_sentence_udtf_matches_pure(spark):
     assert got == sorted(want)
     assert (5, 0, "a.b stays one", 3) in got
     assert not any(r[0] in (2, 4) for r in got)
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    """HLL invariants: estimate within the standard-error envelope of
+    the exact distinct count on both branches (raw harmonic at n >> m,
+    linear counting at n << m), identical at 1 and 16 partitions,
+    duplicates and NULLs don't move registers, and the register build
+    is ONE partial-aggregating groupBy."""
+    import pyspark.sql.functions as F
+
+    from lectura.textops import hll_estimate
+
+    big = spark.range(0, 2000).select(F.col("id").alias("v"))
+    r = hll_estimate(big, "v", p=6).collect()[0]
+    assert abs(r.n_est - 2000) / 2000 < 0.4, r  # ~3σ at m=64
+    r16 = hll_estimate(big.repartition(16), "v", p=6).collect()[0]
+    assert (r16.m, r16.v_used, r16.n_est) == (r.m, r.v_used, r.n_est)
+
+    small = spark.createDataFrame(
+        [(i % 10,) for i in range(500)] + [(None,)] * 5, "v long")
+    s = hll_estimate(small, "v", p=6).collect()[0]
+    assert s.v_used <= 10 and abs(s.n_est - 10) < 4, s
+    # duplicates don't move registers: distinct input gives same row
+    sd = hll_estimate(small.distinct(), "v", p=6).collect()[0]
+    assert (sd.v_used, sd.n_est) == (s.v_used, s.n_est)
+
+    plan = (hll_estimate(big, "v", p=6)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_max" in plan or "HashAggregate" in plan
