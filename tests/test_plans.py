@@ -487,3 +487,41 @@ def test_sql_view_scan_keeps_pushdown(spark):
                  "SELECT l_orderkey FROM lineitem "
                  "WHERE l_quantity > 45.0").count()
     assert n1 == n2 > 0
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's InjectRuntimeFilter: a selective predicate on the dim
+    side of a shuffle join injects might_contain(bloom(join_key)) into
+    the FACT side's scan filter — rows that cannot join drop before the
+    exchange. Default thresholds target cluster-sized inputs
+    (creationSide ≤ 10MB, applicationSide scan ≥ 10GB); the test
+    re-points them at local scale to pin the mechanism itself."""
+    old = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.optimizer.runtime.bloomFilter"
+                  ".applicationSideScanSizeThreshold",
+                  "spark.sql.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                       ".applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = (spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+             .filter("o_orderpriority = '1-URGENT'"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "l_orderkey" in [ln for ln in plan.splitlines()
+                                if "might_contain" in ln][0], plan
+        # result unchanged by the filter
+        rows = {(r[0], r[1]) for r in j.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                       ".applicationSideScanSizeThreshold", "10GB")
+        j2 = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("o_orderpriority").count())
+        assert {(r[0], r[1]) for r in j2.collect()} == rows
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
