@@ -204,9 +204,13 @@ def weighted_sample(df: DataFrame, key, weight_col: str, k: int,
     the weighted case, e.g. quality-weighted corpus selection). The
     rank key es = round(ln(u)/w, 9) orders DESC with the row key as
     tiebreak, so the selected set and ranks are engine- and
-    partitioning-invariant. Rows with NULL or non-positive weight are
-    never selected (filtered — the standard convention; ln(u)/w flips
-    sign at w<0 and divides by zero at w=0).
+    partitioning-invariant — PROVIDED `key` uniquely identifies rows
+    (the same contract stratified_sample states: duplicate keys share
+    a sort tuple and the limit boundary between them is partition-
+    dependent). Rows with NULL, NaN or non-positive weight are never
+    selected (filtered — the standard convention; ln(u)/w flips sign
+    at w<0, divides by zero at w=0, and NaN would sort above every
+    real key under Spark's NaN ordering).
 
     Scale shape: the es key is a scan-stage expression (hash + ln);
     selection is orderBy+limit — TakeOrderedAndProject, a distributed
@@ -220,6 +224,7 @@ def weighted_sample(df: DataFrame, key, weight_col: str, k: int,
     es = F.round(F.log(u) / F.col(weight_col), 9)
     keyed = (
         df.filter(F.col(weight_col).isNotNull()
+                  & ~F.isnan(F.col(weight_col).cast("double"))
                   & (F.col(weight_col) > 0))
         .withColumn("es", es)
     )

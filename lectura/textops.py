@@ -1559,8 +1559,6 @@ def hll_estimate(df: DataFrame, col, p: int = 6,
     fixed-size and mergeable map-side (the HLL point); the final fold
     runs over ≤ m rows. NULL values are ignored (SQL COUNT DISTINCT
     convention)."""
-    import math
-
     m = 1 << p
     c = col if not isinstance(col, str) else F.col(col)
     v = c.cast("string")
@@ -1570,8 +1568,8 @@ def hll_estimate(df: DataFrame, col, p: int = 6,
     rho = F.when(h == 0, F.lit(rho_bits + 1)).otherwise(
         F.lit(rho_bits) - F.length(F.bin(h)) + 1)
     regs = (
-        df.select(j.alias("j"), rho.alias("rho"))
-        .filter(c.isNotNull())
+        df.filter(c.isNotNull())
+        .select(j.alias("j"), rho.alias("rho"))
         .groupBy("j").agg(F.max("rho").alias("mj"))
     )
     top = rho_bits + 1
