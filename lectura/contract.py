@@ -2904,6 +2904,47 @@ def sql_tpch_q19(spark, sf_dir):
     return run_sql(spark, sf_dir, _TPCH_Q1_SQL, tables=("lineitem",))
 
 
+# F15 — value-based window frames (RANGE BETWEEN, not ROWS BETWEEN):
+# per event, activity within the PRECEDING HOUR of event time — the
+# frame is bounded by timestamp VALUES, so ties and gaps behave unlike
+# row-counted frames; counts and cents-sums are exact integers.
+@q(
+    "range_frame_f15",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def range_frame_f15(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    # rangeBetween needs a numeric ordering key: order by epoch
+    # MICROSECONDS (unix_timestamp's second-truncation would admit
+    # events up to 1s past the hour boundary that DuckDB's
+    # full-precision timestamp RANGE excludes), frame =
+    # [-3.6e9 µs, 0] — VALUE bounds, so simultaneous events (ties)
+    # share a frame and sparse users get small frames regardless of
+    # row counts
+    w = (Window.partitionBy("user_id")
+         # ts is TIMESTAMP_NTZ; the cast reads it as a UTC instant
+         # (session tz is pinned UTC) so unix_micros accepts it
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+         .alias("cents_last_hour"),
+    )
+
+
 # D8 — deterministic HyperLogLog: two labeled rows exercise BOTH
 # estimator branches (customer keys → raw harmonic path, fixture
 # terms → linear-counting small-range path). The harmonic sum is an

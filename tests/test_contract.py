@@ -51,3 +51,39 @@ def test_rows_only_executes(spark, name, fn):
     df = fn(spark, SF)
     assert df.columns
     df.collect()  # must not raise
+
+
+def test_range_frame_value_semantics(spark):
+    """RANGE frames bound by VALUES, not row counts: ties share a
+    frame; a row 61 minutes back is outside; one 59 minutes back is
+    inside regardless of how many rows sit between."""
+    import datetime as dt
+
+    import lectura.contract as C
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(minutes=61), 7, "e", 1.0, "{}"),
+        (2, base - dt.timedelta(minutes=59), 7, "e", 2.0, "{}"),
+        (3, base, 7, "e", 4.0, "{}"),
+        (4, base, 7, "e", 8.0, "{}"),     # tie with row 3
+        (5, base, 8, "e", 16.0, "{}"),    # other user unaffected
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    orig = C.t
+    C.t = lambda spark, sf, name: df
+    try:
+        got = {r.event_id: (r.n_last_hour, r.cents_last_hour)
+               for r in C.range_frame_f15(spark, "unused").collect()}
+    finally:
+        C.t = orig
+    assert got[1] == (1, 100)
+    # each frame is relative to ITS row's ts: row 1 sits 2 min before
+    # row 2, well inside row 2's hour
+    assert got[2] == (2, 300)
+    # ties at `base` share one frame holding rows 2,3,4 — row 1 is 61
+    # min back from base, OUTSIDE despite only 3 rows between
+    assert got[3] == (3, 1400) and got[4] == (3, 1400)
+    assert got[5] == (1, 1600)
