@@ -2830,8 +2830,11 @@ def salted_join_f14(spark, sf_dir):
       FROM documents GROUP BY 1
     ), f AS (
       SELECT source, n_docs, n_tokens,
-             round(n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT), 4)
-               + 0.0 AS token_frac
+             CASE WHEN sum(n_tokens) OVER () > 0
+                  THEN round(n_tokens
+                             / CAST(sum(n_tokens) OVER () AS BIGINT), 4)
+                       + 0.0
+                  ELSE 0.0 END AS token_frac
       FROM per
     )
     SELECT source, n_docs, n_tokens, token_frac,
@@ -2977,12 +2980,14 @@ k_{label} AS (
 ), e_{label} AS (
   SELECT '{label}' AS src, 64 AS m, CAST(n_used AS BIGINT) AS v_used,
          round(CASE WHEN ({_HLL_CONST}
-                          / (s_used + (64 - n_used) * {1 << 41}))
+                          / (coalesce(s_used, 0)
+                             + (64 - n_used) * {1 << 41}))
                          <= 160.0
                      AND (64 - n_used) > 0
                THEN 64.0 * ln(64.0 / (64 - n_used))
                ELSE {_HLL_CONST}
-                    / (s_used + (64 - n_used) * {1 << 41}) END, 4)
+                    / (coalesce(s_used, 0)
+                       + (64 - n_used) * {1 << 41}) END, 4)
            + 0.0 AS n_est
   FROM f_{label}
 )"""

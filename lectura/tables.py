@@ -171,15 +171,31 @@ class Warehouse:
         base rows survive. Commits ONE new snapshot (atomic — readers
         see pre- or post-merge state, never a mix), and every prior
         snapshot stays readable (time travel across the merge).
-        Duplicate keys inside `updates` are the caller's contract to
-        resolve first (same as Iceberg MERGE, which rejects multiple
-        matches) — they would all land verbatim here.
+        Duplicate keys inside `updates` RAISE, matching Iceberg MERGE's
+        multiple-matches error (ADVICE r3: landing both rows verbatim
+        silently diverged from the cited semantics) — resolve them
+        first (groupBy + last-writer pick) if duplication is intended.
 
         Scale shape: one shuffle per side on the merge key (the
-        left_anti join); at Iceberg scale the equivalent is
-        merge-on-read deltas, but copy-on-write is the correct local
-        analogue and keeps every reader plan a plain parquet scan."""
+        left_anti join) plus one slim count-distinct agg over the
+        updates side for the duplicate-key guard; at Iceberg scale the
+        equivalent is merge-on-read deltas, but copy-on-write is the
+        correct local analogue and keeps every reader plan a plain
+        parquet scan."""
         keys = [key] if isinstance(key, str) else list(key)
+        from pyspark.sql import functions as F
+
+        chk = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        ).first()
+        if chk and chk.n != chk.nd:
+            raise ValueError(
+                f"merge into {name!r}: updates carry duplicate "
+                f"{keys} keys ({chk.n} rows, {chk.nd} distinct) — "
+                "Iceberg MERGE rejects multiple matches; pre-aggregate "
+                "the updates side"
+            )
         if not self.exists(name):
             return self.overwrite(name, updates)
         base = self.read(name)

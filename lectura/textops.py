@@ -1409,8 +1409,12 @@ def mix_report(df: DataFrame, group_col: str = "source",
         .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
     )
     wall = Window.partitionBy()
-    frac = F.round(F.col("n_tokens")
-                   / F.sum("n_tokens").over(wall), 4) + F.lit(0.0)
+    total = F.sum("n_tokens").over(wall)
+    # all-blank corpus: n_tokens/0 would make every share NULL — report
+    # 0.0 shares instead (ADVICE r3)
+    frac = F.when(
+        total > 0, F.round(F.col("n_tokens") / total, 4) + F.lit(0.0)
+    ).otherwise(F.lit(0.0))
     ordered = Window.orderBy(F.desc("token_frac"), F.asc("grp"))
     return (
         per.withColumn("token_frac", frac)
@@ -1579,8 +1583,12 @@ def hll_estimate(df: DataFrame, col, p: int = 6,
         F.count("*").alias("n_used"),
     )
     alpha = _hll_alpha(m)
-    # empty registers contribute 2^-0 = 1 → 2^top each to the integer sum
-    s_total = F.col("s_used") + (m - F.col("n_used")) * (1 << top)
+    # empty registers contribute 2^-0 = 1 → 2^top each to the integer sum.
+    # On an empty/all-NULL input the agg over zero register rows gives
+    # s_used = NULL — coalesce to 0 so V = m and the linear-counting
+    # branch yields the correct m·ln(m/m) = 0, not NULL (ADVICE r3).
+    s_total = (F.coalesce(F.col("s_used"), F.lit(0))
+               + (m - F.col("n_used")) * (1 << top))
     v_empty = m - F.col("n_used")
     e_raw = F.lit(alpha * m * m * float(1 << top)) / s_total
     est = F.when(

@@ -98,6 +98,13 @@ class WarcReader(DataSourceReader):
 
         segs: dict[str, list] = {}
         for p in paths:
+            # packfiles live beside the index dir (<root>/seg-*.warc.gz,
+            # <root>/index/part-*.parquet): a bare-basename warc_file
+            # (the relocatable layout the writer emits) resolves against
+            # the table root derived from THIS index part's location, so
+            # a moved corpus keeps reading. Absolute / path-bearing
+            # values (pre-relocatable corpora) pass through verbatim.
+            root = os.path.dirname(os.path.dirname(os.path.abspath(p)))
             t = pq.read_table(p, columns=["url", "warc_ts", "lang",
                                           "warc_file", "warc_offset",
                                           "warc_len"])
@@ -109,7 +116,10 @@ class WarcReader(DataSourceReader):
                     # parquet stores UTC instants; the Arrow worker
                     # needs tz-aware values to convert back
                     ts = ts.replace(tzinfo=timezone.utc)
-                segs.setdefault(r["warc_file"], []).append(
+                wf = r["warc_file"]
+                if os.sep not in wf and not os.path.isabs(wf):
+                    wf = os.path.join(root, wf)
+                segs.setdefault(wf, []).append(
                     (r["url"], ts, r["lang"],
                      r["warc_offset"], r["warc_len"]))
         return [
@@ -167,7 +177,15 @@ class WarcWriter(DataSourceWriter):
     FileCommitProtocol shape: task attempts stage under unique
     attempt-ids, the driver publishes the chosen set, readers take the
     index as the source of truth, so orphan packfiles from failed
-    attempts are unreachable rather than corrupting)."""
+    attempts are unreachable rather than corrupting).
+
+    SINGLE-WRITER CONTRACT (same as the Warehouse): one write job per
+    table directory at a time. The `_MANIFEST.json` read-modify-write
+    in `commit()` is not atomic across concurrent append jobs, and an
+    overwrite job deletes every packfile not bearing its own job id —
+    concurrent writers would lose manifest rows or each other's live
+    packfiles (ADVICE r3). Coordinate externally (the crawl loop's
+    RoundLog serializes all its writes)."""
 
     def __init__(self, options: dict, overwrite: bool):
         import uuid
@@ -207,7 +225,12 @@ class WarcWriter(DataSourceWriter):
                 idx["url"].append(r.url)
                 idx["warc_ts"].append(r.warc_ts)
                 idx["lang"].append(r.lang)
-                idx["warc_file"].append(pack)
+                # basename, not the constructed path: the corpus must be
+                # RELOCATABLE (ADVICE r3 — an absolute/CWD-relative path
+                # here breaks every read after a directory move). The
+                # reader rejoins it against the table root derived from
+                # the index location.
+                idx["warc_file"].append(os.path.basename(pack))
                 idx["warc_offset"].append(off)
                 idx["warc_len"].append(len(blob))
                 off += len(blob)
@@ -245,7 +268,9 @@ class WarcWriter(DataSourceWriter):
                 os.path.join(idx_dir,
                              f"part-{self.job_id}-{i:05d}.parquet"))
             n += m.n_rows
-            packs.append(m.packfile)
+            # manifest stores basenames too — same relocatability rule
+            # as the index's warc_file column
+            packs.append(os.path.basename(m.packfile))
         man_path = os.path.join(self.path, "_MANIFEST.json")
         if not self.overwrite and os.path.exists(man_path):
             with open(man_path) as f:
@@ -254,6 +279,20 @@ class WarcWriter(DataSourceWriter):
             packs.extend(old.get("packfiles", []))
         with open(man_path, "w") as f:
             json.dump({"n_rows": n, "packfiles": sorted(packs)}, f)
+        # sweep THIS job's leftover staged parts (failed/zombie task
+        # attempts whose index_tmp never reached `messages`) and their
+        # orphan packfiles — previously only abort() drained _staging
+        # (ADVICE r3). Other jobs' staging files are left alone.
+        staging = os.path.join(self.path, "_staging")
+        committed = {os.path.basename(p) for p in packs}
+        if os.path.isdir(staging):
+            for f in os.listdir(staging):
+                if f.startswith(f"part-{self.job_id}-"):
+                    os.remove(os.path.join(staging, f))
+        for f in os.listdir(self.path):
+            if (f.startswith(f"seg-{self.job_id}-")
+                    and f.endswith(".warc.gz") and f not in committed):
+                os.remove(os.path.join(self.path, f))
 
     def abort(self, messages):
         import os

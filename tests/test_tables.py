@@ -126,3 +126,20 @@ def test_merge_upsert_semantics_and_time_travel(spark, tmp_path):
         [(1, "a", 99)], "k long, s string, v long"), ["k", "s"])
     assert sorted(tuple(r) for r in wh2.read("t").collect()) == [
         (1, "a", 99), (1, "b", 11)]
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """Iceberg MERGE rejects multiple matches for one target row; the
+    copy-on-write merge must raise on duplicate update keys instead of
+    silently landing both rows (ADVICE r3). The table is untouched."""
+    import pytest
+
+    from lectura.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("t", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    dup = spark.createDataFrame([(2, 20), (2, 21)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        wh.merge("t", dup, "k")
+    assert [tuple(r) for r in wh.read("t").collect()] == [(1, 10)]

@@ -1420,6 +1420,19 @@ def test_mix_report_matches_pure(spark):
     assert abs(want[-1][4] - 1.0) < 2e-3
 
 
+def test_mix_report_all_blank_corpus_reports_zero_shares(spark):
+    """ADVICE r3: every doc NULL/blank → token total 0; shares must be
+    0.0 (not NULL from a 0/0 division), ordering falls back to group."""
+    from lectura.textops import mix_report
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "   "), (3, "a", "")],
+        "doc_id long, source string, text string")
+    got = sorted((r.source, r.n_docs, r.n_tokens, r.token_frac, r.cum_frac)
+                 for r in mix_report(df).collect())
+    assert got == [("a", 2, 0, 0.0, 0.0), ("b", 1, 0, 0.0, 0.0)]
+
+
 def test_cms_heavy_hitters_properties(spark):
     """CMS one-sided error: estimate >= true count for every candidate
     (bit-exact equality when no collision), absent terms estimate >= 0,
@@ -1514,3 +1527,16 @@ def test_hll_estimate_accuracy_and_determinism(spark):
     plan = (hll_estimate(big, "v", p=6)
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_hll_estimate_empty_and_all_null_input_is_zero(spark):
+    """ADVICE r3: zero register rows must report n_est = 0.0 (V = m →
+    linear counting m·ln(m/m) = 0), not a NULL that poisons the fold."""
+    from lectura.textops import hll_estimate
+
+    empty = spark.createDataFrame([], "v long")
+    r = hll_estimate(empty, "v", p=6).collect()[0]
+    assert (r.m, r.v_used, r.n_est) == (64, 0, 0.0)
+    nulls = spark.createDataFrame([(None,)] * 7, "v long")
+    rn = hll_estimate(nulls, "v", p=6).collect()[0]
+    assert (rn.m, rn.v_used, rn.n_est) == (64, 0, 0.0)

@@ -120,6 +120,64 @@ def test_warc_source_fully_pruned_filter_returns_zero_rows(spark,
     assert df.filter(df.url == "http://nowhere.example/").count() == 0
 
 
+def test_warc_written_corpus_is_relocatable(spark, tmp_path):
+    """ADVICE r3: the index stores warc_file as a basename and the
+    reader resolves it against the table root derived from the index
+    location — moving the whole directory must not break reads."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    spark.dataSource.register(WarcDataSource)
+    rows = [(f"http://h.example/p{i}",
+             dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), "en",
+             f"<html>reloc {i}</html>".encode()) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, html binary"
+    ).repartition(2)
+    out = str(tmp_path / "orig")
+    df.write.format("lectura_warc").option("path", out).mode(
+        "append").save()
+    # the index column itself is relocatable (no path separators)
+    part = sorted(os.listdir(f"{out}/index"))[0]
+    wf = pq.read_table(f"{out}/index/{part}",
+                       columns=["warc_file"]).column(0).to_pylist()
+    assert all(os.sep not in v for v in wf)
+
+    moved = str(tmp_path / "moved")
+    shutil.move(out, moved)
+    back = spark.read.format("lectura_warc").option(
+        "index", f"{moved}/index").load()
+    got = {r.url: r.html.decode() for r in back.collect()}
+    assert got == {u: h.decode() for u, _, _, h in rows}
+
+
+def test_warc_commit_leaves_other_jobs_staging_alone(spark, tmp_path):
+    """commit() sweeps only ITS OWN job's leftover staged parts; a
+    concurrent/older job's staging files survive."""
+    import datetime as dt
+    import os
+
+    spark.dataSource.register(WarcDataSource)
+    out = str(tmp_path / "out")
+    os.makedirs(f"{out}/_staging")
+    stray = f"{out}/_staging/part-otherjob00-00000-1-feed.parquet"
+    open(stray, "wb").write(b"not ours")
+    rows = [("http://h.example/p0",
+             dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), "en",
+             b"<html>x</html>")]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, html binary"
+    ).write.format("lectura_warc").option("path", out).mode(
+        "append").save()
+    assert os.path.exists(stray)
+    back = spark.read.format("lectura_warc").option(
+        "index", f"{out}/index").load()
+    assert back.count() == 1
+
+
 def test_warc_writer_append_and_overwrite_modes(spark, tmp_path):
     """append accumulates (unique per-job part names, manifest totals
     grow); overwrite replaces (old index parts AND packfiles cleared,
