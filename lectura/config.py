@@ -41,6 +41,24 @@ class CrawlConfig:
     # pages.html stored WARC-style gzipped (bench/cluster corpora); bodies
     # are inflated inside the extraction workers (lectura/extract.py)
     html_gzip: bool = False
+    # Per-round sink fan-in (VERDICT r3 #1): target rows per output file
+    # for the round's sink appends (scheduled / fetch_log / seen /
+    # host_state). The write funnels through ceil(n_rows /
+    # sink_rows_per_file) tasks, so file count AND write parallelism
+    # scale with round size — the r3 hardcoded coalesce(4) pushed every
+    # cluster-scale round (10^7-10^8 urls) through 4 tasks.
+    sink_rows_per_file: int = 250_000
+    # schedule()'s global deterministic rank (VERDICT r3 #2): at or
+    # below this round cap the TakeOrderedAndProject + one
+    # cap-bounded window is optimal (distributed top-k heap, tiny
+    # final sort); above it that window sorts the whole round in ONE
+    # task, so the rank switches to the SEL2 range-partition prefix
+    # discipline (sampling.prefix_rank — same answer, >1 task).
+    distributed_rank_min: int = 200_000
+
+    def sink_fan_in(self, n_rows: int) -> int:
+        """Sink write fan-in derived from the round's row count."""
+        return max(1, -(-int(n_rows) // self.sink_rows_per_file))
 
     def depth_base(self) -> dict[int, float]:
         """w1 * decay**d precomputed in Python once, shipped to Spark as

@@ -400,7 +400,10 @@ class Crawler:
             .withColumn("host_bucket", host_bucket("host", cfg.host_buckets))
             .observe(sched_obs,
                      F.collect_set("host_bucket").alias("buckets"))
-            .coalesce(4),
+            # fan-in derived from the cap (the row-count bound known
+            # before the write) — a no-op when the plan already has
+            # fewer partitions (the small-cap TakeOrdered path)
+            .coalesce(cfg.sink_fan_in(cfg.max_round_urls)),
         )
         sched_files = wh.files_added("scheduled", sched_snap)
         n_scheduled = wh.count_rows(sched_files)
@@ -575,7 +578,8 @@ class Crawler:
             # roll up from the written parquet (slim, round-pruned) instead
             # of recomputing the ok/miss joins a second time in a parallel
             # sink.
-            wh.append("fetch_log", fetch_log.coalesce(4))
+            wh.append("fetch_log",
+                      fetch_log.coalesce(cfg.sink_fan_in(n_scheduled)))
             wh.append(
                 "metrics",
                 fetch_metrics(
@@ -586,7 +590,8 @@ class Crawler:
         def w_seen():
             wh.append(
                 "seen",
-                new_seen.select("url", F.lit(rnd).alias("round")).coalesce(4),
+                new_seen.select("url", F.lit(rnd).alias("round"))
+                .coalesce(cfg.sink_fan_in(2 * n_scheduled)),
             )
 
         def w_bloom():
@@ -604,7 +609,8 @@ class Crawler:
             touched = scheduled.select(
                 "host", F.lit(rnd).alias("last_round")
             ).distinct()
-            wh.append("host_state", touched.coalesce(4))
+            wh.append("host_state",
+                      touched.coalesce(cfg.sink_fan_in(n_scheduled)))
             if len(wh._files("host_state")) > 64:
                 merged = (
                     wh.read("host_state")

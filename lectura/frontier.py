@@ -111,19 +111,38 @@ def rank_per_host(cand_budgeted: DataFrame, salt_buckets: int,
 
 
 def schedule(cand_budgeted: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """F3+F5: keep rank ≤ budget, then global deterministic order + cap.
-    orderBy+limit plans as TakeOrderedAndProject (distributed top-k)."""
+    """F3+F5: keep rank ≤ budget, then global deterministic order + cap
+    with a 1-based ``sched_rank`` following that order.
+
+    Two physical strategies for the SAME answer, picked by the round
+    cap (VERDICT r3 #2):
+
+    * cap ≤ ``cfg.distributed_rank_min``: orderBy+limit plans as
+      TakeOrderedAndProject (distributed top-k heap merge) and the
+      rank window sorts only the ≤ cap survivors — one bounded task.
+    * cap above it (the cluster-scale round a user raises the cap to):
+      that window's single task IS the bottleneck, so the rank comes
+      from sampling.prefix_rank — one range exchange on the order key,
+      per-partition counts to the driver, narrow offset-carrying pass;
+      partitions past the cap are pruned before any row crosses to
+      Python. Same deterministic rank (total order: url is unique
+      among candidates), >1 task at any round size.
+    """
     kept = cand_budgeted.filter(F.col("host_rank") <= F.col("budget"))
-    return (
-        kept.orderBy(F.desc("score"), F.asc("hrk"), F.asc("url"))
-        .limit(cfg.max_round_urls)
-        .withColumn(
-            "sched_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("hrk"), F.asc("url"))
-            ),
+    order = [F.desc("score"), F.asc("hrk"), F.asc("url")]
+    if cfg.max_round_urls <= cfg.distributed_rank_min:
+        return (
+            kept.orderBy(*order)
+            .limit(cfg.max_round_urls)
+            .withColumn("sched_rank", F.row_number().over(
+                Window.orderBy(*order)))
         )
-    )
+    from lectura.sampling import prefix_rank
+
+    ranked = prefix_rank(kept, order, rank_col="sched_rank",
+                         limit=cfg.max_round_urls)
+    return ranked.withColumn("sched_rank",
+                             F.col("sched_rank").cast("int"))
 
 
 def retry_schedule(history: DataFrame, *, base_rounds: int = 1,

@@ -69,6 +69,47 @@ def test_schedule_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_schedule_distributed_rank_same_answer_multitask(spark):
+    """VERDICT r3 #2: above cfg.distributed_rank_min the sched_rank
+    comes from the range-partition prefix discipline — the SAME
+    (url, sched_rank) assignment as the TakeOrdered+window path, with
+    NO partition-less window in the plan and >1 output task."""
+    rows = [
+        {"url": f"http://h{i % 7}.example/p{i}", "host": f"h{i % 7}.example",
+         "hrk": f"example.h{i % 7}/p{i}", "path_q": f"/p{i}",
+         "depth": i % 3, "score": 1.0 / (1 + i % 50), "budget": 40}
+        for i in range(600)
+    ]
+    ranked = rank_per_host(spark.createDataFrame(pd.DataFrame(rows)),
+                           salt_buckets=4)
+    cap = 90
+    small = schedule(ranked, CrawlConfig(max_round_urls=cap))
+    big = schedule(ranked, CrawlConfig(max_round_urls=cap,
+                                       distributed_rank_min=10))
+    want = {(r.url, r.sched_rank) for r in small.collect()}
+    got = {(r.url, r.sched_rank) for r in big.collect()}
+    assert got == want and len(got) == cap
+    # brute force: the rank IS the position in the global order
+    kept = ranked.filter(F.col("host_rank") <= F.col("budget")).collect()
+    order = sorted(kept, key=lambda r: (-r.score, r.hrk, r.url))[:cap]
+    assert got == {(r.url, i + 1) for i, r in enumerate(order)}
+
+    assert big.rdd.getNumPartitions() > 1
+    assert "Window" not in plan_of(big)  # no single-task rank window
+    assert dict(big.dtypes)["sched_rank"] == "int"
+
+
+def test_sink_fan_in_scales_with_round_size():
+    """VERDICT r3 #1: sink fan-in is config-derived from row count."""
+    cfg = CrawlConfig(sink_rows_per_file=250_000)
+    assert cfg.sink_fan_in(0) == 1
+    assert cfg.sink_fan_in(10_000) == 1
+    assert cfg.sink_fan_in(250_000) == 1
+    assert cfg.sink_fan_in(250_001) == 2
+    assert cfg.sink_fan_in(10_000_000) == 40
+    assert "coalesce(4)" not in open("lectura/crawl.py").read()
+
+
 def test_apply_robots_broadcasts_rules(spark):
     rules = spark.createDataFrame(
         pd.DataFrame([
