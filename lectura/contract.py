@@ -2523,6 +2523,17 @@ def dup_span_stats(spark, sf_dir):
     return spans(t(spark, sf_dir, "documents"), k=5)
 
 
+# Q6b — exact-substring span REMOVAL (the transform half of Q6,
+# VERDICT r3 missing #2): both engines flag the same duplicated 5-word
+# windows, excise every covered token, and re-join survivors on single
+# spaces — the cleaned text itself hash-matches.
+@q("dup_span_removal", _osql.dup_span_removal_sql(k=5))
+def dup_span_removal(spark, sf_dir):
+    from lectura.textops import remove_dup_spans
+
+    return remove_dup_spans(t(spark, sf_dir, "documents"), k=5)
+
+
 # SEL3 — DSIR importance weights (hashed-n-gram log-likelihood ratio):
 # target = every 7th doc (stand-in quality reference, same split the
 # decontamination fixture uses), corpus = the rest; both engines hash

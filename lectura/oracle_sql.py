@@ -439,6 +439,48 @@ GROUP BY doc_id
 """
 
 
+def dup_span_removal_sql(k: int = 5) -> str:
+    """Span-removal oracle (mirrors textops.remove_dup_spans): k-word
+    windows positioned 1-based, a window is duplicated iff its gram
+    occurs in ≥ 2 distinct documents (distinct grams hashed once
+    through the pure-SQL xxhash64 chain, same rule as dup_span_sql),
+    a token is removed iff any duplicated window covers it, survivors
+    re-join on single spaces in position order."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), posx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - {k - 1}, 1))) AS i
+  FROM words
+), g AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{k - 1}], ' ') AS s
+  FROM posx WHERE array_to_string(w[i:i+{k - 1}], ' ') <> ''
+), dg AS (SELECT DISTINCT s FROM g),
+{xxhash64_ctes('dg', 's', out='xx', p='x')},
+occ AS (SELECT doc_id, i, xx AS h FROM g JOIN x7 USING (s)),
+sdf AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS d FROM occ
+                 GROUP BY h) WHERE d >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT o.doc_id, unnest(generate_series(o.i, o.i + {k - 1})) AS j
+    FROM occ o JOIN sdf USING (h))
+), tok AS (
+  SELECT doc_id, unnest(w) AS t,
+         unnest(generate_series(1, len(w))) AS j
+  FROM words
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(c.j) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.t END,
+                           ' ' ORDER BY t.j), '') AS text_clean
+FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+GROUP BY t.doc_id
+"""
+
+
 def repetition_sql(n: int = 2) -> str:
     """Gopher-style repetition signals per doc (mirrors
     textops.repetition_stats): word-level duplicate fraction plus the

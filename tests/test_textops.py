@@ -742,6 +742,71 @@ def test_dup_span_stats_matches_pure(spark):
     assert got[5] == (1, 1, 1.0) and got[4][1] == 0
 
 
+def test_remove_dup_spans_matches_pure(spark):
+    """Pure-Python reference for span REMOVAL: a token goes iff any
+    duplicated k-window covers it (overlapping flagged windows merge),
+    survivors re-join on single spaces; a doc that is entirely one hot
+    span empties; docs with no window emit no row. Cross-checked
+    against dup_span_stats: a doc has n_removed > 0 iff it has
+    n_dup_spans > 0, and n_tokens - n_removed counts text_clean's
+    tokens (conservation)."""
+    from collections import Counter
+
+    from lectura.textops import dup_span_stats, remove_dup_spans
+
+    rows = [
+        (1, "a b c d e f"),          # "a b c" hot -> tokens 1..3 go
+        (2, "a b c x y"),
+        (3, "a b c a b c z"),        # overlapping coverage merges
+        (4, "u v w q r"),            # untouched
+        (5, "s t"),                  # whole doc = one hot short span
+        (6, "s t"),
+        (7, ""),                     # no row
+        (8, None),                   # no row
+        (9, "p q a b c d q p"),      # interior span: both ends survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+           for r in remove_dup_spans(df, k=3).collect()}
+
+    k = 3
+
+    def wins(text):
+        w = text.split() if text else []
+        if not w:
+            return [], []
+        n = max(len(w) - k + 1, 1)
+        return w, [(i, " ".join(w[i - 1:i - 1 + k]))
+                   for i in range(1, n + 1)]
+
+    docfreq = Counter()
+    for _, t in rows:
+        _, g = wins(t)
+        for s in {s for _, s in g}:
+            docfreq[s] += 1
+    want = {}
+    for i, t in rows:
+        w, g = wins(t)
+        if not g:
+            continue
+        cov = set()
+        for pos, s in g:
+            if docfreq[s] >= 2:
+                cov.update(range(pos, pos + k))
+        keep = [tok for j, tok in enumerate(w, 1) if j not in cov]
+        want[i] = (len(w), len(w) - len(keep), " ".join(keep))
+    assert got == want
+    assert got[5] == (2, 2, "") and got[4] == (5, 0, "u v w q r")
+    assert got[9][2] == "p q q p"  # interior excision, ends survive
+    assert 7 not in got and 8 not in got
+
+    stats = {r.doc_id: r.n_dup_spans
+             for r in dup_span_stats(df, k=3).collect()}
+    for i, (nt, nr, clean) in got.items():
+        assert (nr > 0) == (stats[i] > 0)
+        assert len(clean.split()) == nt - nr
+
+
 def test_tfidf_top_terms_matches_pure(spark):
     """Pure-Python TF-IDF reference: [a-z0-9]-run tokenization,
     add-one-smoothed ln idf pre-rounded to 9dp, score to 4dp, rank on
