@@ -73,7 +73,7 @@ OPERATOR_QUERIES = [
     "decontaminate_ngrams", "repetition_metrics", "sample_stratified",
     "shard_pack", "dsir_weights", "boilerplate_strip", "line_dedup_global",
     "retry_backoff_c4", "trap_templates_c5", "anchor_text_g3",
-    "pii_scrub", "dup_span_stats", "tfidf_top_terms",
+    "pii_scrub", "dup_span_stats", "dup_span_removal", "tfidf_top_terms",
     "lang_id_stopword",
     # late-r3 additions (SURVEY §2.8c–e)
     "lm_ppl_buckets", "c4_rules_q9", "gopher_rules_q10", "bm25_topk_q11",
