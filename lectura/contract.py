@@ -3151,6 +3151,62 @@ def fuzzy_pairs_q16(spark, sf_dir):
     return out.select("d1", "d2", F.col("dist").cast("long").alias("dist"))
 
 
+# Q16b — the two-pass remedy for Q16's documented blocking blind spot:
+# a second candidate pass blocked on the key's suffix (via
+# substring(reverse(key), 1, 4) — equality-equivalent and short-key
+# safe on both engines), unioned + de-duplicated before the
+# levenshtein verify. Superset of Q16's pairs by construction. The
+# fixture plants deterministic char-1 mutants (doc_id % 11, id+10^6,
+# 'x' || text[2:]) — prefix-blind by construction, so pass 2 is what
+# finds them (verified in DuckDB first: 74 pairs two-pass vs 25
+# pass-1-only at sf0.01).
+@q(
+    "fuzzy_pairs_two_pass_q16b",
+    """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'x' || substring(text, 2)
+      FROM documents
+      WHERE doc_id % 11 = 0 AND text IS NOT NULL AND length(text) > 4
+    ), kb AS (
+      SELECT doc_id AS id, lower(substring(text, 1, 24)) AS key,
+             substring(lower(substring(text, 1, 24)), 1, 4) AS b1,
+             substring(reverse(lower(substring(text, 1, 24))), 1, 4)
+               AS b2
+      FROM src WHERE text IS NOT NULL AND text <> ''
+    ), ok1 AS (SELECT b1 FROM kb GROUP BY 1 HAVING count(*) <= 1000),
+    ok2 AS (SELECT b2 FROM kb GROUP BY 1 HAVING count(*) <= 1000),
+    c AS (
+      SELECT a.id AS d1, b.id AS d2, a.key AS k1, b.key AS k2
+      FROM kb a JOIN kb b ON a.b1 = b.b1 AND a.id < b.id
+      WHERE a.b1 IN (SELECT b1 FROM ok1)
+      UNION
+      SELECT a.id, b.id, a.key, b.key
+      FROM kb a JOIN kb b ON a.b2 = b.b2 AND a.id < b.id
+      WHERE a.b2 IN (SELECT b2 FROM ok2)
+    )
+    SELECT d1, d2, CAST(levenshtein(k1, k2) AS BIGINT) AS dist
+    FROM c WHERE levenshtein(k1, k2) <= 3
+    """,
+)
+def fuzzy_pairs_two_pass_q16b(spark, sf_dir):
+    from lectura.textops import fuzzy_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = (
+        docs.filter((F.col("doc_id") % 11 == 0)
+                    & F.col("text").isNotNull()
+                    & (F.length("text") > 4))
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("x"),
+                         F.expr("substring(text, 2)")).alias("text"))
+    )
+    out = fuzzy_pairs(docs.unionByName(mutants), max_dist=3,
+                      two_pass=True)
+    return out.select("d1", "d2", F.col("dist").cast("long").alias("dist"))
+
+
 # Q15 — PMI collocations: the ratio inside ln() is assembled from
 # exact integer counts in a frozen multiplication order, so both
 # engines hand ln() the identical double; 4dp + (a, b) tiebreaks make

@@ -1366,8 +1366,8 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
 
 def fuzzy_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 24,
                 block_len: int = 4, max_block: int | None = 1000,
-                id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                id_col: str = "doc_id", text_col: str = "text",
+                two_pass: bool = False) -> DataFrame:
     """Blocked fuzzy matching (the standard entity-resolution blocking
     + edit-distance verify, e.g. near-identical titles/URLs that
     byte-exact and shingle dedup both miss): key = lowercased
@@ -1375,32 +1375,52 @@ def fuzzy_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 24,
     `block_len`-char blocking key; a pair survives iff
     levenshtein(key_a, key_b) <= max_dist. Blocking trades recall for
     tractability — pairs differing inside the first `block_len` chars
-    are not candidates (the documented blocking blind spot; run a
-    second pass with a different block, e.g. a suffix, to close it).
-    NULL/empty text emits no key. Returns (d1, d2, dist) with
-    d1 < d2.
+    are not pass-1 candidates (the documented blocking blind spot).
+    `two_pass=True` runs the standard remedy (Q16b): a second
+    candidate pass blocked on the key's SUFFIX `block_len` chars,
+    unioned and de-duplicated before the verify — a pair is then
+    missed only if edits land inside BOTH the first and last block
+    (impossible for max_dist < 2 when the blocks don't overlap, and
+    rare otherwise; documented, not silent). NULL/empty text emits no
+    key. Returns (d1, d2, dist) with d1 < d2.
 
     Scale shape: the all-pairs comparison never happens — candidates
-    come from an equi-join on the blocking key; `max_block` drops
-    blocks larger than the cap (COUNTED into the plan via a groupBy
-    prune, never silent O(b²) — the max_df discipline); levenshtein is
-    a JVM binary expression on the joined pairs only."""
+    come from equi-joins on the blocking keys; `max_block` drops
+    blocks larger than the cap PER PASS (COUNTED into the plan via a
+    groupBy prune, never silent O(b²) — the max_df discipline);
+    levenshtein is a JVM binary expression on surviving candidates
+    only. The two-pass union adds one (d1, d2)-keyed dedupe exchange
+    over candidate pairs — never over the corpus. The suffix block is
+    `substring(reverse(key), 1, block_len)` (equality-equivalent to
+    the raw suffix, robust for keys shorter than the block on both
+    engines)."""
     key = F.lower(F.substring(F.col(text_col), 1, prefix_len))
-    keyed = (
+    base = (
         df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-        .select(F.col(id_col).alias("id"), key.alias("key"),
-                F.substring(key, 1, block_len).alias("block"))
+        .select(F.col(id_col).alias("id"), key.alias("key"))
     )
-    if max_block is not None:
-        ok = (keyed.groupBy("block").agg(F.count("*").alias("_n"))
-              .filter(F.col("_n") <= max_block).select("block"))
-        keyed = keyed.join(ok, "block")
-    a, b = keyed.alias("a"), keyed.alias("b")
+
+    def cands(block_expr) -> DataFrame:
+        keyed = base.withColumn("block", block_expr)
+        if max_block is not None:
+            ok = (keyed.groupBy("block").agg(F.count("*").alias("_n"))
+                  .filter(F.col("_n") <= max_block).select("block"))
+            keyed = keyed.join(ok, "block")
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return (
+            a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
+                    F.col("a.key").alias("k1"), F.col("b.key").alias("k2"))
+        )
+
+    c = cands(F.substring(F.col("key"), 1, block_len))
+    if two_pass:
+        c = c.unionByName(
+            cands(F.substring(F.reverse(F.col("key")), 1, block_len))
+        ).dropDuplicates(["d1", "d2"])
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
-                F.levenshtein(F.col("a.key"), F.col("b.key")).alias("dist"))
+        c.select("d1", "d2", F.levenshtein("k1", "k2").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
 

@@ -1402,6 +1402,56 @@ def test_fuzzy_pairs_matches_pure(spark):
     assert uncapped > len(capped)
 
 
+def test_fuzzy_pairs_two_pass_closes_prefix_blind_spot(spark):
+    """Q16b: the suffix-blocked second pass recovers pairs whose edits
+    fall inside the first block (pass-1's documented blind spot); the
+    two-pass result is a superset of pass 1 and matches a brute-force
+    reference with the union blocking predicate; the residual
+    both-ends blind spot is real and documented."""
+    from lectura.textops import fuzzy_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over"),
+        (2, "the quick brown fox jumps far"),    # dist 0 on 24-prefix
+        (3, "xhe quick brown fox jumps over"),   # char-1 edit: pass-2 only
+        (4, "Ahe quick brown fox jumXs over"),   # edits at BOTH ends: missed
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    keys = {i: t[:24].lower() for i, t in rows if t}
+    want = sorted(
+        (a, b, lev(keys[a], keys[b]))
+        for a in keys for b in keys
+        if a < b
+        and (keys[a][:4] == keys[b][:4] or keys[a][-4:] == keys[b][-4:])
+        and lev(keys[a], keys[b]) <= 3)
+    got2 = sorted(tuple(r) for r in
+                  fuzzy_pairs(df, max_dist=3, two_pass=True).collect())
+    assert got2 == want
+    got1 = sorted(tuple(r) for r in fuzzy_pairs(df, max_dist=3).collect())
+    assert set(got1) <= set(got2)
+    # char-1 edit found by pass 2, invisible to pass 1
+    assert any({p[0], p[1]} == {1, 3} for p in got2)
+    assert not any({p[0], p[1]} == {1, 3} for p in got1)
+    # both-ends edit: neither block matches doc 1's — residual blind
+    # spot (documented), even though lev(keys) == 2 <= 3
+    assert lev(keys[1], keys[4]) <= 3
+    assert not any(4 in (p[0], p[1]) for p in got2)
+    # duplicate suppression: a pair caught by BOTH passes appears once
+    assert len(got2) == len({(a, b) for a, b, _ in got2})
+
+
 def test_chunk_documents_matches_pure(spark):
     """Pure-Python chunking reference: overlap (stride < window),
     short tail, short-doc single chunk, NULL/blank drop, coverage (the
