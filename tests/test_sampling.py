@@ -217,3 +217,29 @@ def test_weighted_sample_es_properties(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_rank_edges_empty_single_and_limit_prune(spark):
+    """prefix_rank edge cases the crawl loop can hit: an EMPTY kept set
+    (a round that schedules nothing) must return an empty frame with
+    the rank column, not crash on the empty offset map; a single row
+    ranks 1; the limit prunes partitions whose offset already exceeds
+    it while keeping the rank exact."""
+    from lectura.sampling import prefix_rank
+
+    order = [F.desc("score"), F.asc("url")]
+    empty = spark.createDataFrame([], "url string, score double")
+    out = prefix_rank(empty, order, rank_col="r", limit=10)
+    assert out.columns == ["url", "score", "r"] and out.count() == 0
+
+    one = spark.createDataFrame([("u", 1.0)], "url string, score double")
+    assert [tuple(r) for r in prefix_rank(one, order, rank_col="r")
+            .collect()] == [("u", 1.0, 1)]
+
+    rows = [(f"u{i:03d}", float(i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "url string, score double")
+    got = {(r.url, r.r) for r in
+           prefix_rank(df, order, rank_col="r", limit=25).collect()}
+    want = {(u, i + 1) for i, (u, s) in enumerate(
+        sorted(rows, key=lambda x: (-x[1], x[0]))[:25])}
+    assert got == want
