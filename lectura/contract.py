@@ -216,6 +216,103 @@ def merge_upsert_s15(spark, sf_dir):
     return wh.read("m")
 
 
+# S17 — snapshot changelog, diff-join path (Warehouse.changelog): two
+# overwrite snapshots of a REAL warehouse on scratch, every change class
+# present — k%3 updates (before+after rows), k%7 deletes, +1000000-keyed
+# inserts, everything else unchanged and therefore ABSENT from the output.
+@q(
+    "changelog_s17",
+    """
+    WITH v1 AS (
+      SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nation,
+             'base' AS src
+      FROM customer
+    ),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 3 = 0 THEN nation + 100 ELSE nation END AS nation,
+             CASE WHEN k % 3 = 0 THEN 'upd' ELSE 'base' END AS src
+      FROM v1 WHERE k % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(c_nationkey AS BIGINT), 'new'
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    diff AS (
+      SELECT v1.k, v1.nation AS nation1, v1.src AS src1,
+             v2.nation AS nation2, v2.src AS src2
+      FROM v1 JOIN v2 ON v1.k = v2.k
+      WHERE v1.nation <> v2.nation OR v1.src <> v2.src
+    )
+    SELECT 'insert' AS _change_type, k, nation, src FROM v2
+    WHERE k NOT IN (SELECT k FROM v1)
+    UNION ALL
+    SELECT 'delete' AS _change_type, k, nation, src FROM v1
+    WHERE k NOT IN (SELECT k FROM v2)
+    UNION ALL
+    SELECT 'update_before' AS _change_type, k, nation1 AS nation,
+           src1 AS src FROM diff
+    UNION ALL
+    SELECT 'update_after' AS _change_type, k, nation2 AS nation,
+           src2 AS src FROM diff
+    """,
+)
+def changelog_s17(spark, sf_dir):
+    import shutil
+
+    from lectura.tables import Warehouse
+
+    root = f"/dev/shm/lectura_s17/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root, spark)
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(F.col("c_custkey").alias("k"),
+                  F.col("c_nationkey").cast("long").alias("nation"),
+                  F.lit("base").alias("src"))
+    upd3 = F.col("k") % 3 == 0
+    v2 = (
+        v1.filter(F.col("k") % 7 != 0)
+        .select("k",
+                F.when(upd3, F.col("nation") + 100)
+                 .otherwise(F.col("nation")).alias("nation"),
+                F.when(upd3, F.lit("upd"))
+                 .otherwise(F.lit("base")).alias("src"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 5 == 0)
+            .select((F.col("c_custkey") + 1000000).alias("k"),
+                    F.col("c_nationkey").cast("long").alias("nation"),
+                    F.lit("new").alias("src")))
+    )
+    s1 = wh.overwrite("m", v1)
+    s2 = wh.overwrite("m", v2)
+    return wh.changelog("m", "k", from_snapshot=s1, to_snapshot=s2)
+
+
+# S17b — snapshot changelog, append fast path: the incremental read costs
+# O(new files) — the physical plan is a bare scan of the appended files
+# (ZERO joins/shuffles; pinned in tests/test_plans.py), Iceberg's
+# incremental append scan shape.
+@q(
+    "changelog_append_s17b",
+    """
+    SELECT 'insert' AS _change_type, c_custkey, c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def changelog_append_s17b(spark, sf_dir):
+    import shutil
+
+    from lectura.tables import Warehouse
+
+    root = f"/dev/shm/lectura_s17b/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root, spark)
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    s1 = wh.overwrite("m", c.filter(F.col("c_custkey") % 2 == 0))
+    wh.append("m", c.filter(F.col("c_custkey") % 2 == 1))
+    return wh.changelog("m", "c_custkey", from_snapshot=s1)
+
+
 # U7 — string functions
 @q(
     "string_fns",

@@ -143,3 +143,107 @@ def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         wh.merge("t", dup, "k")
     assert [tuple(r) for r in wh.read("t").collect()] == [(1, 10)]
+
+
+def _cl_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_changelog_diff_classes(spark, tmp_path):
+    """Every change class between two overwrite snapshots: insert,
+    delete, update before/after pair; unchanged rows emit NOTHING."""
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string")
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, "e")], "k long, v string")
+    s1 = wh.overwrite("t", v1)
+    s2 = wh.overwrite("t", v2)
+    got = _cl_rows(wh.changelog("t", "k", from_snapshot=s1, to_snapshot=s2))
+    assert got == sorted([
+        ("insert", 5, "e"),
+        ("delete", 3, "c"),
+        ("update_before", 2, "b"),
+        ("update_after", 2, "B"),
+    ])
+    # column order mirrors the table (fast path and join path agree)
+    assert wh.changelog("t", "k", from_snapshot=s1).columns == \
+        ["_change_type", "k", "v"]
+
+
+def test_changelog_append_fast_path_zero_shuffle(spark, tmp_path):
+    """Append-only range → incremental scan of ONLY the new files:
+    no join/Exchange in the plan, and rows = exactly the appended set."""
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    s1 = wh.overwrite("t", spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    wh.append("t", spark.range(100, 130).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    wh.append("t", spark.range(130, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    cl = wh.changelog("t", "k", from_snapshot=s1)
+    plan = cl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    got = _cl_rows(cl)
+    assert got == [("insert", k, 2 * k) for k in range(100, 150)]
+    # baseline files are not even read: physical scan lists only the
+    # files the range added
+    scanned = [ln for ln in cl.inputFiles()]
+    base_files = set(wh._files("t", s1))
+    assert scanned and not (set(scanned) & base_files)
+
+
+def test_changelog_compact_in_range_yields_no_changes(spark, tmp_path):
+    """A compaction rewrites files but preserves content — the join path
+    fires (file sets diverge) and must report ZERO row changes."""
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    s0 = None
+    for i in range(6):
+        df = spark.range(i * 20, (i + 1) * 20).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+        ).repartition(3)
+        snap = wh.append("t", df)
+        if i == 0:
+            s0 = snap
+    assert wh.compact("t") is not None
+    cl = wh.changelog("t", "k", from_snapshot=wh.snapshot("t") - 1)
+    assert cl.count() == 0
+    # and from s0 the join path still reports exactly the later appends
+    got = _cl_rows(wh.changelog("t", "k", from_snapshot=s0))
+    assert got == [("insert", k, str(k)) for k in range(20, 120)]
+
+
+def test_changelog_duplicate_keys_raise(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    s1 = wh.overwrite("t", spark.createDataFrame(
+        [(1, "a")], "k long, v string"))
+    wh.overwrite("t", spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k long, v string"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="duplicate"):
+        wh.changelog("t", "k", from_snapshot=s1).collect()
+
+
+def test_changelog_edges(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    s1 = wh.overwrite("t", spark.createDataFrame(
+        [(1, "a")], "k long, v string"))
+    # same-snapshot range → typed empty frame, fast path
+    empty = wh.changelog("t", "k", from_snapshot=s1, to_snapshot=s1)
+    assert empty.count() == 0
+    assert empty.columns == ["_change_type", "k", "v"]
+    # inverted range raises
+    import pytest as _pt
+    wh.append("t", spark.createDataFrame([(2, "b")], "k long, v string"))
+    with _pt.raises(ValueError, match="after"):
+        wh.changelog("t", "k", from_snapshot=wh.snapshot("t"),
+                     to_snapshot=s1)
+    with _pt.raises(ValueError, match="key column"):
+        wh.changelog("t", "missing", from_snapshot=s1)
+    # key-only table: presence/absence semantics, no update class
+    a = wh.overwrite("ko", spark.range(5).select(F.col("id").alias("k")))
+    wh.overwrite("ko", spark.createDataFrame(
+        [(3,), (4,), (5,)], "k long"))
+    got = _cl_rows(wh.changelog("ko", "k", from_snapshot=a))
+    assert got == sorted([
+        ("delete", 0), ("delete", 1), ("delete", 2), ("insert", 5)])
