@@ -95,6 +95,20 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     scan-stage explode, doc metadata inherited per chunk, no join
     back) BEFORE shard packing, which then packs on the unique
     (url, chunk_id) key."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _trace = bool(_os.environ.get("LECTURA_TRACE"))
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _trace:
+            now = _time.time()
+            print(f"EXPORT_TRACE {label}={now - _t0:.2f}s",
+                  file=_sys.stderr, flush=True)
+            _t0 = now
+
     docs = wh.read("text").select(*EXPORT_COLS)
     gated = docs.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -126,17 +140,34 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
 
     sig = winners.select(F.col("_nid").alias("id"),
                          F.col("simhash").alias("sh"))
-    n_hot = 0
+    # hot-bucket table computed ONCE (persisted — it is both the reported
+    # n_hot stat and band_pairs' exclusion list; without the handoff the
+    # chunk stream would aggregate twice)
+    n_hot, hot = 0, None
     if band_max_df is not None:
-        n_hot = int(
+        hot = (
             simhash_chunks(sig).groupBy("chunk", "val").count()
-            .filter(F.col("count") > band_max_df).count()
+            .filter(F.col("count") > band_max_df).select("chunk", "val")
+            .persist()
         )
+        n_hot = hot.count()
+    _mark("winners_hotcount")
+    # dedupe=False: connected_components' canonical-edge distinct absorbs
+    # multi-chunk agreements, so the pair stream skips its own
+    # dropDuplicates shuffle. driver_max_edges: near-dup graphs are a
+    # sliver of the corpus — under 2M edges union-find on the driver
+    # replaces ~10 star-iteration jobs; past it (the 10^10-doc design
+    # point) the distributed path runs unchanged.
     pairs = simhash_band_pairs(sig, max_hamming=max_hamming,
-                               max_df=band_max_df)
+                               max_df=band_max_df, hot_buckets=hot,
+                               dedupe=False)
     comp = connected_components(
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+        driver_max_edges=2_000_000,
     ).localCheckpoint()
+    if hot is not None:
+        hot.unpersist()
+    _mark("pairs_cc")
     labeled = (
         winners.join(F.broadcast(comp) if _small(comp) else comp,
                      winners["_nid"] == comp["node"], "left")
@@ -155,6 +186,7 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
         )
         .select("url", "n_exact_copies", "cluster_size")
     )
+    _mark("comp_join_gate")
     out = gated.join(keep, "url").select(
         *EXPORT_COLS, "n_exact_copies", "cluster_size"
     )
@@ -224,10 +256,12 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
         )
     else:
         snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
+    _mark("winner_join_write")
     winners.unpersist()
     for df_ in cleanup:
         df_.unpersist()
     n_docs = wh.count_rows(wh._files(out_table))
+    _mark("post_stats")
     stats = {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
              "n_hot_buckets_dropped": n_hot}
     if bench is not None:

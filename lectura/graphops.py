@@ -79,7 +79,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 30) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 30,
+                         driver_max_edges: int | None = None) -> DataFrame:
     """Label every node of an undirected graph with the minimum node id
     of its component.
 
@@ -92,10 +93,48 @@ def connected_components(edges: DataFrame, src: str = "src",
     Alternates large-star / small-star until the canonical edge set is a
     fixpoint (converged edges form stars pointing at component roots),
     O(log n) rounds. Raises if ``max_iter`` rounds don't converge.
-    """
+
+    ``driver_max_edges``: when set and the canonical edge count is at or
+    under it, run union-find on the driver instead of the iterative
+    shuffles — the same small-path/distributed-path split as
+    ``frontier.schedule``'s ``distributed_rank_min``. A near-dup pair
+    graph is usually a sliver of the corpus (only docs WITH a near-dup
+    appear), so each O(shuffle)-per-round star iteration mostly pays
+    fixed job latency; below the threshold one collect of slim (u, v)
+    longs + path-compressed union-find is exact, deterministic, and
+    labels identically (min node id per component). 2M edges ≈ 32 MB on
+    the driver. Above the threshold — the 10^10-doc design point, where
+    the pair graph is corpus-sized — the distributed path runs
+    unchanged. Default None = always distributed (contract oracles pin
+    the iterative plan). Driver-path node/component columns are BIGINT
+    regardless of input width."""
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
+    if driver_max_edges is not None and e.count() <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in e.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            if node < comp_min.get(r, node + 1):
+                comp_min[r] = node
+        rows = [(n, comp_min[find(n)]) for n in parent]
+        return e.sparkSession.createDataFrame(
+            rows, schema="node bigint, component bigint")
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -204,7 +204,9 @@ def simhash_chunks(sh: DataFrame) -> DataFrame:
 
 
 def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8,
-                       max_df: int | None = None) -> DataFrame:
+                       max_df: int | None = None,
+                       hot_buckets: DataFrame | None = None,
+                       dedupe: bool = True) -> DataFrame:
     """Near-dup pairs from precomputed signatures (`id`, `sh` signed i64).
     Candidate generation bands the 64-bit signature into 4×16-bit chunks:
     any pair with hamming distance ≤ 3 must agree on at least one chunk
@@ -219,13 +221,21 @@ def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8,
     generation (their pairs can still surface through the doc's other 3
     chunks). With the cap, candidate rows are bounded by 2·max_df·|chunks|
     regardless of skew. None (default) preserves exact banding semantics
-    for the contract oracles."""
+    for the contract oracles.
+
+    `hot_buckets` hands in a precomputed (chunk, val) exclusion table —
+    callers that already aggregated bucket document-frequency (the export
+    reports hot-bucket counts) pass it so the chunk stream is aggregated
+    ONCE, not re-counted here. `dedupe=False` skips the (d1, d2)
+    dropDuplicates shuffle for consumers that dedupe downstream anyway
+    (connected-components' canonical-edge distinct) — multi-chunk
+    agreements then emit one row per agreeing chunk."""
     chunks = simhash_chunks(sh)
-    if max_df is not None:
+    if hot_buckets is not None or max_df is not None:
         # hot buckets are few by construction (each needs > max_df rows),
         # so the exclusion list broadcasts; the count agg shuffles on the
         # same (chunk, val) key the self-join needs anyway
-        hot = (
+        hot = hot_buckets if hot_buckets is not None else (
             chunks.groupBy("chunk", "val").count()
             .filter(F.col("count") > max_df).select("chunk", "val")
         )
@@ -243,7 +253,8 @@ def simhash_band_pairs(sh: DataFrame, max_hamming: int = 8,
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
                 F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"))
-        .dropDuplicates(["d1", "d2"])
+        .transform(lambda df: df.dropDuplicates(["d1", "d2"])
+                   if dedupe else df)
         .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")

@@ -101,3 +101,28 @@ def test_pagerank_matches_power_iteration(spark, name):
     for x in want:
         assert got[x] == pytest.approx(want[x], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_components_driver_path_identical(spark, name):
+    """driver_max_edges small-path = distributed fixpoint, label for
+    label (the export's size-gated switch must be invisible)."""
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    drv = {r["node"]: r["component"]
+           for r in connected_components(
+               df, driver_max_edges=10**6).collect()}
+    assert drv == dist
+    # threshold BELOW the edge count → distributed path (same answer)
+    low = {r["node"]: r["component"]
+           for r in connected_components(df, driver_max_edges=1).collect()}
+    assert low == dist
+
+
+def test_components_driver_path_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(df, driver_max_edges=100)
+    assert out.count() == 0
+    assert out.columns == ["node", "component"]

@@ -1655,3 +1655,28 @@ def test_hll_estimate_empty_and_all_null_input_is_zero(spark):
     nulls = spark.createDataFrame([(None,)] * 7, "v long")
     rn = hll_estimate(nulls, "v", p=6).collect()[0]
     assert (rn.m, rn.v_used, rn.n_est) == (64, 0, 0.0)
+
+
+def test_simhash_band_pairs_handoff_params_equivalent(spark):
+    """hot_buckets handoff and dedupe=False are PLAN knobs: the pair SET
+    (post canonical dedup) matches the default path exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lectura.textops import simhash_band_pairs, simhash_chunks
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(63) for _ in range(40)]
+    rows = [(i, base[i % 40] ^ ((1 << rng.randrange(63)) if i >= 40 else 0))
+            for i in range(120)]
+    sh = spark.createDataFrame(rows, "id long, sh long")
+    ref = {(r.d1, r.d2) for r in
+           simhash_band_pairs(sh, max_hamming=4, max_df=8).collect()}
+    hot = (simhash_chunks(sh).groupBy("chunk", "val").count()
+           .filter(F.col("count") > 8).select("chunk", "val"))
+    got = {(r.d1, r.d2) for r in
+           simhash_band_pairs(sh, max_hamming=4, max_df=8,
+                              hot_buckets=hot, dedupe=False)
+           .dropDuplicates(["d1", "d2"]).collect()}
+    assert got == ref
