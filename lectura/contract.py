@@ -313,6 +313,28 @@ def changelog_append_s17b(spark, sf_dir):
     return wh.changelog("m", "c_custkey", from_snapshot=s1)
 
 
+# S18 — Z-order (Morton) clustering key: the multi-dimensional sort key
+# behind Iceberg/Delta ZORDER file layouts; engine-invariant pure BIGINT
+# shift/mask arithmetic (lectura/sources.py:zorder_key). The layout half
+# (write_zordered) is verified by tests/test_zorder.py's footer-stat
+# pruning evidence — file min/max envelopes tighten in BOTH dimensions.
+from lectura import oracle_sql as _osql_z  # noqa: E402
+
+
+@q(
+    "zorder_key_s18",
+    _osql_z.zorder_sql("events", "user_id", "event_id", "event_id"),
+)
+def zorder_key_s18(spark, sf_dir):
+    from lectura.sources import zorder_key
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id",
+                zorder_key("user_id", "event_id").alias("zkey"))
+    )
+
+
 # U7 — string functions
 @q(
     "string_fns",

@@ -846,3 +846,22 @@ counters AS (
 SELECT term, est, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def zorder_sql(src: str, xcol: str, ycol: str, keep: str) -> str:
+    """Morton-key oracle (mirrors sources.zorder_key): the identical
+    five-step shift/mask bit-spreading chain on 31-bit-masked inputs,
+    x in even bit positions, y in odd — pure BIGINT arithmetic, so both
+    engines compute the key exactly."""
+    steps = ((16, 281470681808895), (8, 71777214294589695),
+             (4, 1085102592571150095), (2, 3689348814741910323),
+             (1, 6148914691236517205))
+    ctes = [f"z0 AS (SELECT {keep}, ({xcol} & 2147483647) AS sx, "
+            f"({ycol} & 2147483647) AS sy FROM {src})"]
+    for i, (s, m) in enumerate(steps):
+        ctes.append(
+            f"z{i + 1} AS (SELECT {keep}, "
+            f"((sx | (sx << {s})) & {m}) AS sx, "
+            f"((sy | (sy << {s})) & {m}) AS sy FROM z{i})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT {keep}, (sx | (sy << 1)) AS zkey FROM z{len(steps)}")

@@ -11,7 +11,8 @@ the round loop. Callers always know their schema — pass it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 FORMATS = ("parquet", "json", "csv")
@@ -62,6 +63,70 @@ def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int,
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+# ---------------------------------------------------------------------------
+# S18: Z-order (Morton) clustering — the multi-dimensional file layout
+# (Iceberg's `rewrite_data_files(strategy => 'sort', sort_order =>
+# zorder(...))`; same construction in Delta OPTIMIZE ZORDER BY). A table
+# range-partitioned and sorted on ONE column prunes scans on that column
+# only; interleaving the bits of two columns into one sort key bounds
+# every file's min/max envelope in BOTH dimensions, so a predicate on
+# either column (or a box on both) skips most files at planning time from
+# parquet footer stats alone. At 100 TB this is the difference between a
+# (host, time)-windowed query reading one cluster's worth of files and a
+# full-table scan.
+# ---------------------------------------------------------------------------
+
+# shift/mask bit-spreading chain (the standard O(log w) Morton-code
+# construction, e.g. Hacker's Delight §7-2): each step doubles the gap
+# between occupied bits. Pure 64-bit integer arithmetic — the same five
+# steps run verbatim in Spark expressions and in the DuckDB oracle
+# (lectura/oracle_sql.py:zorder_sql), so the key is engine-invariant.
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread31(col: Column) -> Column:
+    """Spread a column's low 31 bits into the even bit positions of a
+    BIGINT (bit i -> bit 2i). Inputs are masked to 31 bits so the
+    interleaved key never touches the sign bit (callers bucket/offset
+    wider or negative dimensions first — epoch seconds, host_bucket and
+    row ids all fit)."""
+    x = col.cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    for s, m in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, s)).bitwiseAND(F.lit(m))
+    return x
+
+
+def zorder_key(x: Column | str, y: Column | str) -> Column:
+    """64-bit Morton key interleaving two 31-bit dimensions: bit i of
+    `x` lands at bit 2i, bit i of `y` at bit 2i+1. Locality property:
+    rows close in BOTH dimensions are close in key order, so files cut
+    from a zkey sort carry tight min/max envelopes on x AND y."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return _spread31(cx).bitwiseOR(F.shiftleft(_spread31(cy), 1))
+
+
+def write_zordered(df: DataFrame, x: str, y: str, path: str,
+                   n_files: int = 32) -> None:
+    """Persist `df` Z-order-clustered on (`x`, `y`): range-partition by
+    the Morton key (one shuffle — contiguous key ranges per file, the
+    property footer-stat pruning needs; a hash repartition would scatter
+    every key range across every file) + in-file sort, key dropped
+    before write (readers prune on the x/y column stats themselves;
+    the key is pure layout)."""
+    (df.withColumn("_zkey", zorder_key(x, y))
+       .repartitionByRange(n_files, "_zkey")
+       .sortWithinPartitions("_zkey")
+       .drop("_zkey")
+       .write.mode("overwrite").parquet(path))
 
 
 # ---------------------------------------------------------------------------
