@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lectura import oracle_sql as _osql
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
@@ -318,12 +320,9 @@ def changelog_append_s17b(spark, sf_dir):
 # shift/mask arithmetic (lectura/sources.py:zorder_key). The layout half
 # (write_zordered) is verified by tests/test_zorder.py's footer-stat
 # pruning evidence — file min/max envelopes tighten in BOTH dimensions.
-from lectura import oracle_sql as _osql_z  # noqa: E402
-
-
 @q(
     "zorder_key_s18",
-    _osql_z.zorder_sql("events", "user_id", "event_id", "event_id"),
+    _osql.zorder_sql("events", "user_id", "event_id", "event_id"),
 )
 def zorder_key_s18(spark, sf_dir):
     from lectura.sources import zorder_key
@@ -1169,9 +1168,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # HUGEINT arithmetic validated against the public XXH64 vectors and
 # against Spark in tests/test_oracle_sql.py); signatures, banding and
 # est_jaccard are mirrored exactly.
-from lectura import oracle_sql as _osql  # noqa: E402
-
-
 @q("dedup_minhash_lsh", _osql.dedup_minhash_lsh_sql(min_est_jaccard=0.4))
 def dedup_minhash_lsh(spark, sf_dir):
     from lectura.textops import minhash_lsh_pairs

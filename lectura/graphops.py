@@ -100,19 +100,35 @@ def connected_components(edges: DataFrame, src: str = "src",
     ``frontier.schedule``'s ``distributed_rank_min``. A near-dup pair
     graph is usually a sliver of the corpus (only docs WITH a near-dup
     appear), so each O(shuffle)-per-round star iteration mostly pays
-    fixed job latency; below the threshold one collect of slim (u, v)
-    longs + path-compressed union-find is exact, deterministic, and
-    labels identically (min node id per component). 2M edges ≈ 32 MB on
-    the driver. Above the threshold — the 10^10-doc design point, where
-    the pair graph is corpus-sized — the distributed path runs
-    unchanged. Default None = always distributed (contract oracles pin
-    the iterative plan). Driver-path node/component columns are BIGINT
-    regardless of input width."""
+    fixed job latency; below the threshold one Arrow collect of the slim
+    (u, v) longs + array union-find is exact, deterministic, and labels
+    identically (min node id per component). Driver memory is bounded
+    and numpy-shaped, not Python-object-shaped: ids arrive as int64
+    arrays, np.unique remaps them to dense int indices, and the parent
+    table is one int array — ≈ 100 MB transient at the 2M-edge
+    threshold (the Row-object equivalent would be ~10×). Above the
+    threshold — the 10^10-doc design point, where the pair graph is
+    corpus-sized — the distributed path runs unchanged. Default None =
+    always distributed (contract oracles pin the iterative plan).
+    Driver-path node/component columns are BIGINT regardless of input
+    width."""
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
     if driver_max_edges is not None and e.count() <= driver_max_edges:
-        parent: dict[int, int] = {}
+        import numpy as np
+        import pyarrow as pa
+
+        tbl = e.select(F.col("u").cast("long"), F.col("v").cast("long")) \
+               .toArrow()
+        uv = np.concatenate([
+            tbl.column(0).to_numpy(zero_copy_only=False),
+            tbl.column(1).to_numpy(zero_copy_only=False),
+        ])
+        nodes, idx = np.unique(uv, return_inverse=True)  # sorted ascending
+        n_edges = len(uv) // 2
+        ui, vi = idx[:n_edges], idx[n_edges:]
+        parent = np.arange(len(nodes), dtype=np.int64)
 
         def find(x: int) -> int:
             while parent[x] != x:
@@ -120,21 +136,21 @@ def connected_components(edges: DataFrame, src: str = "src",
                 x = parent[x]
             return x
 
-        for row in e.collect():
-            u, v = row[0], row[1]
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                parent[ru] = rv
-        comp_min: dict[int, int] = {}
-        for node in parent:
-            r = find(node)
-            if node < comp_min.get(r, node + 1):
-                comp_min[r] = node
-        rows = [(n, comp_min[find(n)]) for n in parent]
-        return e.sparkSession.createDataFrame(
-            rows, schema="node bigint, component bigint")
+        for a, b in zip(ui.tolist(), vi.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min index = min node id (nodes is sorted), so
+                # every root IS its component's minimum — no second pass
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(nodes))],
+                         dtype=np.int64)
+        out = pa.table({"node": pa.array(nodes, type=pa.int64()),
+                        "component": pa.array(nodes[roots],
+                                              type=pa.int64())})
+        return e.sparkSession.createDataFrame(out)
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -856,8 +856,11 @@ def zorder_sql(src: str, xcol: str, ycol: str, keep: str) -> str:
     steps = ((16, 281470681808895), (8, 71777214294589695),
              (4, 1085102592571150095), (2, 3689348814741910323),
              (1, 6148914691236517205))
-    ctes = [f"z0 AS (SELECT {keep}, ({xcol} & 2147483647) AS sx, "
-            f"({ycol} & 2147483647) AS sy FROM {src})"]
+    # CAST first: the Spark twin casts to long before masking; without it
+    # a 32-bit INTEGER column overflows DuckDB's left shift at step one
+    ctes = [f"z0 AS (SELECT {keep}, "
+            f"(CAST({xcol} AS BIGINT) & 2147483647) AS sx, "
+            f"(CAST({ycol} AS BIGINT) & 2147483647) AS sy FROM {src})"]
     for i, (s, m) in enumerate(steps):
         ctes.append(
             f"z{i + 1} AS (SELECT {keep}, "

@@ -162,6 +162,35 @@ class Warehouse:
         return self._commit(name, self._write_files(name, df),
                             df.schema.json())
 
+    @staticmethod
+    def _assert_unique_keys(df: DataFrame, keys: list[str],
+                            context: str) -> None:
+        """Shared guard for the keyed faces (merge / changelog): rows
+        must carry unique, non-NULL key tuples. ONE partial-aggregating
+        pass; NULL keys get their own diagnosis (count_distinct skips
+        them, so they'd otherwise surface as a bogus 'duplicate keys'
+        count mismatch)."""
+        from pyspark.sql import functions as F
+
+        null_any = F.lit(False)
+        for k in keys:
+            null_any = null_any | F.col(k).isNull()
+        chk = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+            F.count(F.when(null_any, 1)).alias("n_null"),
+        ).first()
+        if chk and chk.n_null:
+            raise ValueError(
+                f"{context}: {chk.n_null} row(s) carry NULL {keys} key "
+                "values — keyed row matching is undefined on NULLs; "
+                "filter or fill them first")
+        if chk and chk.n != chk.nd:
+            raise ValueError(
+                f"{context}: rows carry duplicate {keys} keys "
+                f"({chk.n} rows, {chk.nd} distinct) — Iceberg MERGE "
+                "rejects multiple matches; pre-aggregate first")
+
     def merge(self, name: str, updates: DataFrame,
               key: str | list[str]) -> int:
         """Keyed upsert — the copy-on-write face of Iceberg
@@ -183,19 +212,8 @@ class Warehouse:
         correct local analogue and keeps every reader plan a plain
         parquet scan."""
         keys = [key] if isinstance(key, str) else list(key)
-        from pyspark.sql import functions as F
-
-        chk = updates.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
-        ).first()
-        if chk and chk.n != chk.nd:
-            raise ValueError(
-                f"merge into {name!r}: updates carry duplicate "
-                f"{keys} keys ({chk.n} rows, {chk.nd} distinct) — "
-                "Iceberg MERGE rejects multiple matches; pre-aggregate "
-                "the updates side"
-            )
+        self._assert_unique_keys(updates, keys,
+                                 f"merge into {name!r}: updates")
         if not self.exists(name):
             return self.overwrite(name, updates)
         base = self.read(name)
@@ -295,17 +313,18 @@ class Warehouse:
             inc = self.spark.read.schema(new.schema).parquet(*added)
             return inc.select(F.lit("insert").alias("_change_type"), *cols)
         old = self.read(name, from_snapshot)
+        if old.columns != cols:
+            raise ValueError(
+                f"changelog({name!r}): schema changed across the range "
+                f"({old.columns} at snapshot {from_snapshot} vs {cols} "
+                f"at {to_snapshot}) — this changelog requires a stable "
+                "schema (documented divergence from Iceberg's "
+                "evolution-aware changelog); diff the snapshots "
+                "manually across the evolution point")
         vals = [c for c in cols if c not in keys]
         for side, df in (("from", old), ("to", new)):
-            chk = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
-            ).first()
-            if chk and chk.n != chk.nd:
-                raise ValueError(
-                    f"changelog({name!r}): {side}-snapshot rows carry "
-                    f"duplicate {keys} keys ({chk.n} rows, {chk.nd} "
-                    "distinct) — update pairing needs key uniqueness")
+            self._assert_unique_keys(
+                df, keys, f"changelog({name!r}): {side}-snapshot rows")
         # key-only tables have no update notion — carry a constant field
         # so the struct comparison degenerates to presence/absence
         mk = ((lambda: F.struct(*vals)) if vals

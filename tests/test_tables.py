@@ -247,3 +247,29 @@ def test_changelog_edges(spark, tmp_path):
     got = _cl_rows(wh.changelog("ko", "k", from_snapshot=a))
     assert got == sorted([
         ("delete", 0), ("delete", 1), ("delete", 2), ("insert", 5)])
+
+
+def test_changelog_null_keys_and_schema_change_diagnosed(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    import pytest as _pt
+    s1 = wh.overwrite("t", spark.createDataFrame(
+        [(1, "a")], "k long, v string"))
+    wh.overwrite("t", spark.createDataFrame(
+        [(None, "x"), (2, "b")], "k long, v string"))
+    with _pt.raises(ValueError, match="NULL"):
+        wh.changelog("t", "k", from_snapshot=s1).collect()
+    # schema evolution across the range is a clear error, not an
+    # unresolved-column crash deep in analysis
+    s2 = wh.overwrite("t", spark.createDataFrame(
+        [(1, "a", 0)], "k long, v string, w long"))
+    with _pt.raises(ValueError, match="schema changed"):
+        wh.changelog("t", "k", from_snapshot=s1, to_snapshot=s2).collect()
+
+
+def test_merge_null_update_keys_diagnosed(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="NULL"):
+        wh.merge("t", spark.createDataFrame(
+            [(None, "x")], "k long, v string"), "k")
