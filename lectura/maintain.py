@@ -49,8 +49,17 @@ def list_tables(wh: Warehouse) -> list[str]:
 
 
 def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
-             prune_frontier: bool = True) -> dict:
-    """Run all maintenance passes; returns per-table actions taken."""
+             prune_frontier: bool = True,
+             expire_keep: int | None = None) -> dict:
+    """Run all maintenance passes; returns per-table actions taken.
+
+    ``expire_keep``: when set, finish with
+    ``Warehouse.expire_snapshots(keep_last=expire_keep)`` per table,
+    anchored at the (re-pointed) last round marker's snapshot
+    (``keep_from``) so a checkpoint resume stays restorable — history
+    OLDER than the marker is dropped and its data files reclaimed.
+    Default None keeps every snapshot (the pre-expiry behavior: markers
+    from before the maintenance still restore)."""
     log = RoundLog(wh.root)
     last = log.last_committed()
     actions: dict[str, str] = {}
@@ -97,6 +106,21 @@ def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
                 snaps[name] = wh.snapshot(name)
         log.commit(last, snaps, log.stats(last))
         actions["_round_log"] = f"round-{last} marker re-pointed"
+
+    if expire_keep is not None:
+        marker = log.snapshots(last) if last is not None else {}
+        for name in list_tables(wh):
+            if name in SKIP:
+                continue
+            stats = wh.expire_snapshots(
+                name, keep_last=expire_keep,
+                keep_from=marker.get(name))
+            if stats["expired"]:
+                actions[name] = (
+                    actions.get(name, "")
+                    + f" + expired {len(stats['expired'])} snapshots "
+                    f"({stats['files_deleted']} files, "
+                    f"{stats['bytes_freed']} B)").lstrip(" +")
     return actions
 
 
@@ -111,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--no-prune-frontier", action="store_true")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="keep only the last N snapshots per table "
+                         "(plus the round marker's) and reclaim the "
+                         "rest's data files; default keeps all history")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -119,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     actions = maintain(
         wh, target_file_bytes=args.target_file_mb << 20,
         prune_frontier=not args.no_prune_frontier,
+        expire_keep=args.expire_keep,
     )
     print(json.dumps(actions))
     return 0

@@ -384,6 +384,66 @@ class Warehouse:
                else df.coalesce(n_out))
         return self.overwrite(name, out)
 
+    def expire_snapshots(self, name: str, *, keep_last: int = 1,
+                         keep_from: int | None = None) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` in one
+        driver-side metadata pass (no Spark job): delete snapshot
+        manifests older than the retention window, then delete every
+        data file under THIS TABLE's directory that no surviving
+        manifest references — which also sweeps orphans from failed
+        writes. Time travel to an expired snapshot then raises (the
+        Iceberg contract); this is the lifecycle bound that keeps a
+        10^3-round crawl's disk usage proportional to live state
+        instead of full history.
+
+        Retention = the last ``keep_last`` snapshots ∪ HEAD ∪ everything
+        at or after ``keep_from`` (pass the round marker's snapshot so a
+        checkpoint resume stays restorable — ``maintain --expire-keep``
+        wires this). Files are ref-counted across ALL kept manifests, so
+        appends' shared files survive as long as any kept snapshot needs
+        them. Files OUTSIDE the table directory are never touched: a
+        ``register``-adopted zero-copy corpus is not ours to delete.
+
+        Single-writer contract (same as the round loop): don't expire
+        concurrently with commits."""
+        tdir = os.path.realpath(self._tdir(name))
+        head = self._head(name)
+        if head is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        snaps = sorted(
+            int(f[len("snap-"):-len(".json")])
+            for f in os.listdir(tdir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+        min_keep = max(0, head - keep_last + 1)
+        if keep_from is not None:
+            min_keep = min(min_keep, keep_from)
+        kept = [s for s in snaps if s >= min_keep or s == head]
+        expired = [s for s in snaps if s not in kept]
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(os.path.realpath(f)
+                              for f in self._files(name, s))
+        n_deleted, bytes_freed = 0, 0
+        data_root = os.path.join(tdir, "data")
+        if os.path.isdir(data_root):
+            for dirpath, _dirnames, filenames in os.walk(data_root):
+                for fn in filenames:
+                    p = os.path.realpath(os.path.join(dirpath, fn))
+                    if p not in referenced:
+                        bytes_freed += os.path.getsize(p)
+                        os.remove(p)
+                        n_deleted += 1
+            # drop now-empty staging dirs so the walk stays O(live)
+            for dirpath, dirnames, filenames in os.walk(data_root,
+                                                        topdown=False):
+                if not dirnames and not filenames and dirpath != data_root:
+                    os.rmdir(dirpath)
+        for s in expired:
+            os.remove(self._snap_path(name, s))
+        return {"expired": expired, "kept": kept,
+                "files_deleted": n_deleted, "bytes_freed": bytes_freed}
+
     def rollback(self, name: str, snapshot: int) -> None:
         """Point HEAD back at an older snapshot (resume-after-crash path)."""
         if not os.path.exists(self._snap_path(name, snapshot)):

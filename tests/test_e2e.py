@@ -230,6 +230,40 @@ def test_maintain_between_sessions_preserves_crawl(
     assert_equivalent(crawler2, oracle)
 
 
+def test_maintain_with_expiry_preserves_resume(
+        spark, corpus, cfg, oracle, tmp_path):
+    """S19: maintain(expire_keep=1) reclaims pre-maintenance history
+    (bytes actually freed) while the round marker's snapshots survive —
+    resume round 3 in a fresh Crawler still matches the uninterrupted
+    oracle byte-for-byte."""
+    import os as _os
+
+    from lectura.maintain import maintain
+
+    root = str(tmp_path / "whe")
+    wh = Warehouse(root, spark)
+    cfg = CrawlConfig(max_round_urls=cfg.max_round_urls,
+                      sink_rows_per_file=50)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, corpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(2)
+
+    def _disk(t):
+        return sum(_os.path.getsize(_os.path.join(dp, f))
+                   for dp, _, fs in _os.walk(wh._tdir(t)) for f in fs)
+
+    pre = _disk("seen") + _disk("frontier") + _disk("fetch_log")
+    actions = maintain(wh, target_file_bytes=1 << 30, expire_keep=1)
+    assert any("expired" in v for v in actions.values())
+    post = _disk("seen") + _disk("frontier") + _disk("fetch_log")
+    assert post < pre  # history actually reclaimed
+
+    crawler2 = Crawler(spark, wh, cfg)  # fresh-session resume
+    crawler2.run(ROUNDS)
+    assert_equivalent(crawler2, oracle)
+
+
 def test_maintain_after_round1_crash_drops_unborn_tables(
         spark, corpus, cfg, oracle, tmp_path):
     """ADVICE r2: a crash during round 1 of a FRESH warehouse leaves

@@ -273,3 +273,63 @@ def test_merge_null_update_keys_diagnosed(spark, tmp_path):
     with _pt.raises(ValueError, match="NULL"):
         wh.merge("t", spark.createDataFrame(
             [(None, "x")], "k long, v string"), "k")
+
+
+def test_expire_snapshots_reclaims_history(spark, tmp_path):
+    """S19: expiry drops old manifests + their unreferenced data files,
+    keeps HEAD (and keep_from) readable, never touches files shared
+    with kept snapshots."""
+    import os
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    s0 = wh.overwrite("t", spark.range(100).select(
+        F.col("id").alias("k")))
+    s1 = wh.append("t", spark.range(100, 150).select(
+        F.col("id").alias("k")))  # shares s0's files
+    s2 = wh.overwrite("t", spark.range(50).select(F.col("id").alias("k")))
+    s3 = wh.append("t", spark.range(50, 60).select(F.col("id").alias("k")))
+    pre = sum(os.path.getsize(os.path.join(dp, f))
+              for dp, _, fs in os.walk(wh._tdir("t")) for f in fs)
+    stats = wh.expire_snapshots("t", keep_last=2)
+    assert stats["expired"] == [s0, s1] and stats["kept"] == [s2, s3]
+    assert stats["files_deleted"] > 0 and stats["bytes_freed"] > 0
+    post = sum(os.path.getsize(os.path.join(dp, f))
+               for dp, _, fs in os.walk(wh._tdir("t")) for f in fs)
+    assert post < pre
+    # survivors fully readable; expired time travel raises
+    assert wh.read("t").count() == 60
+    assert wh.read("t", snapshot=s2).count() == 50
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        wh.read("t", snapshot=s0).count()
+    # keep_from extends retention below keep_last
+    wh2 = Warehouse(str(tmp_path / "wh2"), spark)
+    a = wh2.overwrite("t", spark.range(5))
+    wh2.overwrite("t", spark.range(6))
+    wh2.overwrite("t", spark.range(7))
+    st = wh2.expire_snapshots("t", keep_last=1, keep_from=a)
+    assert st["expired"] == [] and wh2.read("t", snapshot=a).count() == 5
+
+
+def test_expire_snapshots_sweeps_orphans_not_external_files(spark, tmp_path):
+    import os
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("t", spark.range(10))
+    # orphan from a failed write attempt
+    orphan_dir = os.path.join(wh._tdir("t"), "data", "deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    # zero-copy registered external corpus file (outside the table dir)
+    ext = str(tmp_path / "external")
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(ext)
+    ext_files = [os.path.join(ext, f) for f in os.listdir(ext)
+                 if f.endswith(".parquet")]
+    wh.register("ext_t", ext_files)
+    stats = wh.expire_snapshots("t", keep_last=1)
+    assert not os.path.exists(orphan) and not os.path.exists(orphan_dir)
+    assert stats["files_deleted"] >= 1
+    ext_stats = wh.expire_snapshots("ext_t", keep_last=1)
+    assert ext_stats["files_deleted"] == 0
+    assert all(os.path.exists(f) for f in ext_files)
+    assert wh.read("ext_t").count() == 3
