@@ -115,7 +115,7 @@ def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
             stats = wh.expire_snapshots(
                 name, keep_last=expire_keep,
                 keep_from=marker.get(name))
-            if stats["expired"]:
+            if stats["expired"] or stats["files_deleted"]:
                 actions[name] = (
                     actions.get(name, "")
                     + f" + expired {len(stats['expired'])} snapshots "

@@ -418,29 +418,45 @@ class Warehouse:
         min_keep = max(0, head - keep_last + 1)
         if keep_from is not None:
             min_keep = min(min_keep, keep_from)
-        kept = [s for s in snaps if s >= min_keep or s == head]
+        # ids past HEAD are dangling manifests a rollback/restore already
+        # discarded (a crashed round's commits) — always expirable, or the
+        # crashed round's junk files would count as 'referenced' forever
+        kept = [s for s in snaps if min_keep <= s <= head or s == head]
         expired = [s for s in snaps if s not in kept]
         referenced: set[str] = set()
         for s in kept:
             referenced.update(os.path.realpath(f)
                               for f in self._files(name, s))
+        # manifests FIRST (Iceberg's order): if the file sweep below is
+        # interrupted, the worst leftover is an orphaned data file the
+        # next expiry reclaims — never a live-looking manifest pointing
+        # at deleted files
+        for s in expired:
+            os.remove(self._snap_path(name, s))
         n_deleted, bytes_freed = 0, 0
         data_root = os.path.join(tdir, "data")
         if os.path.isdir(data_root):
             for dirpath, _dirnames, filenames in os.walk(data_root):
-                for fn in filenames:
-                    p = os.path.realpath(os.path.join(dirpath, fn))
-                    if p not in referenced:
-                        bytes_freed += os.path.getsize(p)
-                        os.remove(p)
+                paths = [os.path.realpath(os.path.join(dirpath, fn))
+                         for fn in filenames]
+                live = any(p in referenced for p in paths)
+                for p in paths:
+                    if p in referenced:
+                        continue
+                    if live and not p.endswith(".parquet"):
+                        # _SUCCESS/.crc sidecars belong to a staging dir
+                        # that still holds kept data files — leave the
+                        # kept snapshot's directory untouched
+                        continue
+                    bytes_freed += os.path.getsize(p)
+                    os.remove(p)
+                    if p.endswith(".parquet"):
                         n_deleted += 1
             # drop now-empty staging dirs so the walk stays O(live)
             for dirpath, dirnames, filenames in os.walk(data_root,
                                                         topdown=False):
                 if not dirnames and not filenames and dirpath != data_root:
                     os.rmdir(dirpath)
-        for s in expired:
-            os.remove(self._snap_path(name, s))
         return {"expired": expired, "kept": kept,
                 "files_deleted": n_deleted, "bytes_freed": bytes_freed}
 

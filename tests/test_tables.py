@@ -333,3 +333,39 @@ def test_expire_snapshots_sweeps_orphans_not_external_files(spark, tmp_path):
     assert ext_stats["files_deleted"] == 0
     assert all(os.path.exists(f) for f in ext_files)
     assert wh.read("ext_t").count() == 3
+
+
+def test_expire_snapshots_drops_dangling_post_head_snapshots(spark, tmp_path):
+    """A crashed round's commits survive as manifests PAST the
+    rolled-back HEAD — expiry must reclaim them, not treat their junk
+    files as referenced (review finding)."""
+    import os
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("t", spark.range(10))
+    keep = wh.overwrite("t", spark.range(20))
+    dangling = wh.append("t", spark.range(1000, 2000))  # 'crashed' commit
+    wh.rollback("t", keep)
+    junk_files = set(wh._files("t", dangling)) - set(wh._files("t", keep))
+    assert junk_files
+    stats = wh.expire_snapshots("t", keep_last=1)
+    assert dangling in stats["expired"]
+    assert all(not os.path.exists(f) for f in junk_files)
+    assert wh.read("t").count() == 20
+
+
+def test_expire_snapshots_leaves_kept_sidecars_and_reports_truthfully(
+        spark, tmp_path):
+    """Kept staging dirs keep their _SUCCESS/.crc sidecars; a no-op
+    expiry reports zero files deleted (review finding: sidecar sweep
+    both mutated kept snapshots and inflated the stats)."""
+    import glob
+    import os
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("t", spark.range(10))
+    side_pre = set(glob.glob(os.path.join(wh._tdir("t"), "data", "*", "_*"))
+                   + glob.glob(os.path.join(wh._tdir("t"), "data", "*",
+                                            ".*crc")))
+    stats = wh.expire_snapshots("t", keep_last=5)
+    assert stats["expired"] == [] and stats["files_deleted"] == 0 \
+        and stats["bytes_freed"] == 0
+    assert all(os.path.exists(p) for p in side_pre)
