@@ -79,8 +79,8 @@ OPERATOR_QUERIES = [
     "lm_ppl_buckets", "c4_rules_q9", "gopher_rules_q10", "bm25_topk_q11",
     "domain_quality_c6", "blocklist_ut1_c7", "ann_pq_topk", "phrase_search_q12", "norm_dedup_q13", "mm_byte_hist_q14",
     "pmi_collocations_q15", "merge_upsert_s15", "fuzzy_pairs_q16", "fuzzy_pairs_two_pass_q16b", "chunk_docs_q17", "mix_report_q18", "cms_heavy_hitters_d7", "sql_tpch_q19", "sentence_udtf_q20", "weighted_sample_sel4", "hll_estimate_d8", "range_frame_f15",
-    # r4 storage-track additions
-    "changelog_s17", "zorder_key_s18",
+    # r4 storage/graph-track additions
+    "changelog_s17", "zorder_key_s18", "graph_triangles_g4",
 ]
 
 

@@ -256,3 +256,61 @@ def anchor_summary(anchors: DataFrame, dst_col: str = "dst",
         F.min_by("text", key).alias("top_text"),
         F.max("c").alias("top_text_refs"),
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph:
+    (node, n_tri) for every node in ≥ 1 triangle (others absent —
+    the caller's left join, same contract as connected_components).
+    Direction, duplicate edges and self-loops are ignored.
+
+    Degree-ordered orientation (the compact-forward algorithm: Schank &
+    Wagner 2005 / Latapy 2008): each undirected edge is directed from
+    its (degree, id)-smaller endpoint to the larger, every triangle is
+    then generated exactly once from its smallest-ordered apex, and —
+    the scale point — per-node OUT-degree is O(√m) no matter how skewed
+    the degree distribution, so the wedge self-join's fan-out is bounded
+    even at a web-graph hub whose raw degree is millions. An id-ordered
+    orientation would put a hub's full neighbor-pair square in one task;
+    the degree ordering caps it by construction.
+
+    Plan shape: degree table = one partial-aggregating hash agg; the
+    orientation is scan-stage; wedges = ONE equi-join of the oriented
+    edge list with itself on the apex; closure = one more equi-join on
+    the (b, c) edge key; participation counts = explode + hash agg. All
+    joins keyed, no windows, no Python."""
+    e = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("deg")) \
+             .select(F.col("u").alias("node"), "deg")
+    j = (
+        e.join(deg.select(F.col("node").alias("u"),
+                          F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("tdeg"),
+    ).localCheckpoint()
+    a = o.select(F.col("s"), F.col("t").alias("b"),
+                 F.col("tdeg").alias("bdeg"))
+    b = o.select(F.col("s"), F.col("t").alias("c"),
+                 F.col("tdeg").alias("cdeg"))
+    wedges = a.join(b, "s").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    ).select(F.col("s").alias("a"), "b", "c")
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("n_tri"))
+    )

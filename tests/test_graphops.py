@@ -126,3 +126,48 @@ def test_components_driver_path_empty(spark):
     out = connected_components(df, driver_max_edges=100)
     assert out.count() == 0
     assert out.columns == ["node", "component"]
+
+
+def _brute_triangles(edges):
+    adj = {}
+    es = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once (a < b < c by construction)
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_triangle_counts_match_brute_force(spark, name):
+    from lectura.graphops import triangle_counts
+
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"]
+           for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_dense_and_empty(spark):
+    from lectura.graphops import triangle_counts
+
+    # K5: every node in C(4,2)=6 triangles
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    got = {r["node"]: r["n_tri"]
+           for r in triangle_counts(
+               spark.createDataFrame(k5, "src long, dst long")).collect()}
+    assert got == {i: 6 for i in range(5)}
+    # triangle-free graph -> empty result
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    assert triangle_counts(star).count() == 0
