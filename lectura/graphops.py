@@ -50,10 +50,16 @@ def _canon(e: DataFrame) -> DataFrame:
     )
 
 
+def _sym(e: DataFrame) -> DataFrame:
+    """Symmetric (both-directions) view of a canonical edge list."""
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of each node to the minimum
     of its inclusive neighborhood. Input/output: canonical (u > v)."""
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _sym(e)
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.col("u")).alias("m")
     )
@@ -187,9 +193,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if undirected:
-        sym = sym.unionByName(
-            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        sym = _sym(sym)
     sym = sym.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("u").alias("node"), "deg").localCheckpoint()
@@ -283,8 +287,7 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     )
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = _sym(e)
     deg = und.groupBy("u").agg(F.count("*").alias("deg")) \
              .select(F.col("u").alias("node"), "deg")
     j = (

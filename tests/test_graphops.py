@@ -171,3 +171,12 @@ def test_triangle_counts_dense_and_empty(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)],
                                  "src long, dst long")
     assert triangle_counts(star).count() == 0
+
+
+def test_triangle_counts_empty_input(spark):
+    from lectura.graphops import triangle_counts
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = triangle_counts(df)
+    assert out.count() == 0
+    assert out.columns == ["node", "n_tri"]
