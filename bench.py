@@ -81,6 +81,7 @@ OPERATOR_QUERIES = [
     "pmi_collocations_q15", "merge_upsert_s15", "fuzzy_pairs_q16", "fuzzy_pairs_two_pass_q16b", "chunk_docs_q17", "mix_report_q18", "cms_heavy_hitters_d7", "sql_tpch_q19", "sentence_udtf_q20", "weighted_sample_sel4", "hll_estimate_d8", "range_frame_f15",
     # r4 storage/graph-track additions
     "changelog_s17", "zorder_key_s18", "graph_triangles_g4",
+    "graph_hits_g5", "graph_labelprop_g6", "quantile_sketch_d9",
 ]
 
 

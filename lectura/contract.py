@@ -1540,6 +1540,100 @@ def graph_triangles_g4(spark, sf_dir):
     return triangle_counts(pairs, src="p1", dst="p2")
 
 
+def _hits_oracle(iters: int = 8) -> str:
+    # Unrolled HITS power iteration over the DIRECTED sim edges
+    # (d1 -> d2): four chained CTEs per iteration (raw authority pull,
+    # L1-normalize, raw hub pull, L1-normalize) — mirrors the
+    # fixed-iteration Spark loop exactly. LEFT JOINs keep zero-degree
+    # sides at 0.0 rather than dropping them.
+    # edges0 inlines the whole shingle pipeline per reference; the 8
+    # unrolled iterations reference it 16 times, so materialize one
+    # copy (and every per-iteration CTE that is referenced twice) or
+    # DuckDB re-opens the parquet per inline and runs out of fds.
+    ctes = [
+        f"WITH {_SIM_GRAPH_CTES}",
+        "eh AS MATERIALIZED (SELECT d1, d2 FROM edges0)",
+        "nodes AS MATERIALIZED (SELECT d1 AS node FROM eh"
+        " UNION SELECT d2 FROM eh)",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(sum(h.hub), 0.0) AS a"
+            f" FROM nodes n LEFT JOIN eh e ON e.d2 = n.node"
+            f" LEFT JOIN h{i - 1} h ON h.node = e.d1 GROUP BY n.node)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node,"
+            f" a / (SELECT sum(a) FROM ar{i}) AS auth FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(sum(a.auth), 0.0) AS h"
+            f" FROM nodes n LEFT JOIN eh e ON e.d1 = n.node"
+            f" LEFT JOIN a{i} a ON a.node = e.d2 GROUP BY n.node)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node,"
+            f" h / (SELECT sum(h) FROM hr{i}) AS hub FROM hr{i})"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT h{iters}.node, round(hub, 4) AS hub,"
+        f" round(auth, 4) AS auth"
+        f" FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"
+    )
+
+
+# G5 — HITS hubs/authorities over the directed sim edges (d1 -> d2, the
+# id-ordered near-dup pairs): same float-determinism recipe as PageRank
+# (fixed iterations, round to 4dp on both engines before hashing).
+@q("graph_hits_g5", _hits_oracle())
+def graph_hits_g5(spark, sf_dir):
+    from lectura.graphops import hits
+
+    return hits(
+        _sim_edges(spark, sf_dir), src="d1", dst="d2", iters=8
+    ).select("node", F.round("hub", 4).alias("hub"),
+             F.round("auth", 4).alias("auth"))
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    # Unrolled synchronous label propagation: two CTEs per round —
+    # neighbor-label counts, then the modal label with ties to the
+    # smallest via the same zero-padded composite min_by key the Spark
+    # operator (and anchor_summary) uses. Integer-only: exact hash match.
+    ctes = [
+        f"WITH {_SIM_GRAPH_CTES}",
+        "sym AS (SELECT d1 AS u, d2 AS v FROM edges0"
+        " UNION SELECT d2, d1 FROM edges0)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT s.u AS node, p.label, count(*) AS cnt"
+            f" FROM sym s JOIN l{i - 1} p ON s.v = p.node"
+            f" GROUP BY s.u, p.label)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, min_by(label,"
+            f" printf('%013d|%020d', 1000000000000 - cnt, label))"
+            f" AS label FROM c{i} GROUP BY node)"
+        )
+    return ", ".join(ctes) + f" SELECT node, label FROM l{iters}"
+
+
+# G6 — synchronous label propagation communities over the sim graph:
+# 4 fixed rounds, min-label tie-break, integer-exact on both engines.
+@q("graph_labelprop_g6", _lpa_oracle())
+def graph_labelprop_g6(spark, sf_dir):
+    from lectura.graphops import label_propagation
+
+    return label_propagation(
+        _sim_edges(spark, sf_dir), src="d1", dst="d2", iters=4)
+
+
 # Text quality scoring (length / stopword / vocabulary-diversity signals)
 @q(
     "text_quality",
@@ -3189,6 +3283,60 @@ def hll_estimate_d8(spark, sf_dir):
         F.lit("ck").alias("src"), "m", "v_used", "n_est")
     b = hll_estimate(terms, "t", p=6).select(
         F.lit("tk").alias("src"), "m", "v_used", "n_est")
+    return a.unionByName(b)
+
+
+def _lqs_branch(label: str, src: str, sub: int = 16) -> str:
+    # One D9 sketch branch: same integer-only binning as
+    # textops.log_quantile_sketch — bit_length via to_base(v, 2),
+    # edges and ceil-ranks via // — so the estimate hash-matches
+    # bit-for-bit (no floating log at power-of-two boundaries).
+    one = "CAST(1 AS BIGINT)"
+    return f"""s_{label} AS (SELECT greatest(v, 0) AS v
+  FROM ({src}) WHERE v IS NOT NULL),
+e_{label} AS (SELECT v, CASE WHEN v <= 0 THEN -1
+  ELSE length(to_base(v, 2)) - 1 END AS e FROM s_{label}),
+h_{label} AS (SELECT e, CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+  ELSE ((v - ({one} << e)) * {sub}) // ({one} << e) END AS m
+  FROM e_{label}),
+g_{label} AS (SELECT e, m, count(*) AS c FROM h_{label} GROUP BY e, m),
+c_{label} AS (SELECT e, m,
+  CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+    ELSE ({one} << e) + (m * ({one} << e)) // {sub} END AS est,
+  CAST(sum(c) OVER (ORDER BY e, m) AS BIGINT) AS cum,
+  CAST(sum(c) OVER () AS BIGINT) AS n FROM g_{label}),
+q_{label} AS (SELECT '{label}' AS src, q_num, q_den, max(n) AS n,
+  min_by(est, (e + 1) * {sub} + m) AS est
+  FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den)
+  JOIN c_{label} ON cum >= (q_num * n + q_den - 1) // q_den
+  GROUP BY q_num, q_den)"""
+
+
+# D9 — mergeable log-linear histogram quantile sketch (HDR/DDSketch
+# bucketing, integer-exact): medians/p90/p99 of document length and of
+# a small-domain metric, both branches hash-compared to the oracle's
+# identical integer pipeline.
+@q(
+    "quantile_sketch_d9",
+    "WITH "
+    + _lqs_branch("chars",
+                  "SELECT n_chars AS v FROM documents")
+    + ",\n"
+    + _lqs_branch("qty",
+                  "SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem")
+    + """
+    SELECT * FROM q_chars UNION ALL SELECT * FROM q_qty
+    """,
+)
+def quantile_sketch_d9(spark, sf_dir):
+    from lectura.textops import log_quantile_sketch
+
+    a = log_quantile_sketch(
+        t(spark, sf_dir, "documents"), "n_chars"
+    ).select(F.lit("chars").alias("src"), "q_num", "q_den", "n", "est")
+    b = log_quantile_sketch(
+        t(spark, sf_dir, "lineitem"), "l_quantity"
+    ).select(F.lit("qty").alias("src"), "q_num", "q_den", "n", "est")
     return a.unionByName(b)
 
 

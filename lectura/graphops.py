@@ -317,3 +317,108 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node").agg(F.count("*").alias("n_tri"))
     )
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list; returns (node, hub, auth) for every node of the edge set,
+    L1-normalized each half-step so scores sum to 1. Fixed iteration
+    count keeps it deterministic and oracle-expressible as unrolled SQL;
+    deterministic up to IEEE summation order — consumers should round
+    before hashing results (same contract as ``pagerank``).
+
+    Scale shape: each half-step is one equi-join of the edge list
+    against the node-partitioned score vector plus one hash aggregation
+    on node id — identical shuffle discipline to ``pagerank``; the L1
+    norm is a single scalar agg the driver broadcasts back as a
+    literal-free crossJoin of a 1-row frame. Duplicate edges and
+    self-loops are dropped; lineage truncates every iteration."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.isEmpty():
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        # authority step: pull hub mass along u -> v
+        a_raw = (
+            nodes.join(
+                e.join(hub.withColumnRenamed("node", "u"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum("hub").alias("a")),
+                "node", "left")
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+        )
+        auth = (
+            a_raw.crossJoin(a_raw.agg(F.sum("a").alias("tot")))
+            .select("node", (F.col("a") / F.col("tot")).alias("auth"))
+            .localCheckpoint()
+        )
+        # hub step: pull authority mass back along v -> u
+        h_raw = (
+            nodes.join(
+                e.join(auth.withColumnRenamed("node", "v"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.sum("auth").alias("h")),
+                "node", "left")
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+        )
+        hub = (
+            h_raw.crossJoin(h_raw.agg(F.sum("h").alias("tot")))
+            .select("node", (F.col("h") / F.col("tot")).alias("hub"))
+            .localCheckpoint()
+        )
+    return hub.join(auth, "node")
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected graph: (node, label) after a FIXED number of synchronous
+    rounds, labels initialized to node id, each round every node adopts
+    its neighbors' modal label with ties broken to the smallest label.
+    Fixed iterations + deterministic tie-break make the result exact —
+    integer-only arithmetic, so both engines hash-match bit-for-bit
+    (unlike the float centralities, no rounding needed).
+
+    Scale shape: each round is one equi-join (edges against the
+    node-partitioned label vector) and two partial-aggregating hash
+    aggs — (node, label) counts collapse map-side exactly where a hub's
+    repeated modal label is hottest, then one agg on node picks the
+    winner via a single min_by on a zero-padded composite key (inverted
+    count '|' label), the same key an oracle builds with printf. No
+    windows, labels cross one shuffle per round."""
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    sym = _sym(e).localCheckpoint()
+    lbl = sym.select(F.col("u").alias("node"),
+                     F.col("u").alias("label")).distinct()
+    key = F.concat(
+        F.lpad((F.lit(1_000_000_000_000) - F.col("cnt")).cast("string"),
+               13, "0"),
+        F.lit("|"),
+        F.lpad(F.col("label").cast("string"), 20, "0"),
+    )
+    for _ in range(iters):
+        cnts = (
+            sym.join(lbl.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            cnts.groupBy("node")
+            .agg(F.min_by("label", key).alias("label"))
+            .localCheckpoint()
+        )
+    return lbl

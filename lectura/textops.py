@@ -1706,3 +1706,76 @@ def hll_estimate(df: DataFrame, col, p: int = 6,
         F.col("n_used").cast("long").alias("v_used"),
         (F.round(est, 4) + F.lit(0.0)).alias("n_est"),
     )
+
+
+def log_quantile_sketch(df: DataFrame, col,
+                        quantiles=((1, 2), (9, 10), (99, 100)),
+                        sub: int = 16) -> DataFrame:
+    """D9 — mergeable log-linear histogram quantile sketch over a
+    non-negative integer metric column (chars, tokens, bytes, latency
+    µs): one (exponent, mantissa-bucket) bin per value — e =
+    bit_length(v)−1, m = ⌊(v−2^e)·sub/2^e⌋ — so each bin spans a
+    (1 + 1/sub) ratio and the lower bin edge underestimates the true
+    quantile by a relative error ≤ 1/sub (6.25% at the default 16).
+    This is the HDR-histogram / DDSketch bucketing discipline
+    reconstructed with INTEGER-ONLY arithmetic: bit_length via
+    length(bin(v)) in Spark and length(to_base(v,2)) in DuckDB, edges
+    and ranks via integer div — no floating log whose 1-ulp libm
+    differences could flip a bucket at a power-of-two boundary, so
+    both engines hash-match bit-for-bit (the hll_estimate recipe).
+
+    Each requested quantile is an exact rational (num, den); its rank
+    is ceil(num·n/den) computed as (num·n + den − 1) div den — again
+    integer-exact. Returns (q_num, q_den, n, est) with est = the lower
+    edge of the first bin whose cumulative count reaches the rank;
+    empty/all-NULL input returns no rows. Values < 0 are clamped to
+    the v=0 bin (e=−1).
+
+    Scale shape: the sketch state is the histogram — ONE
+    partial-aggregating groupBy(e, m) that collapses map-side to at
+    most 64·sub rows regardless of input size (the mergeable-sketch
+    point; union-then-sketch ≡ sketch-then-merge by associativity of
+    count). The cumulative window and quantile probe then run over
+    ≤ ~1k bins, bounded by construction."""
+    from pyspark.sql import Window
+
+    c = col if not isinstance(col, str) else F.col(col)
+    v = F.greatest(c.cast("long"), F.lit(0).cast("long"))
+    e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - 1)
+    hist = (
+        df.filter(c.isNotNull())
+        .select(v.alias("v"), e.cast("int").alias("e"))
+        .select(
+            "e",
+            F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(v - shiftleft(1L, e)) * {sub}"
+                       f" div shiftleft(1L, e)")).alias("m"),
+        )
+        .groupBy("e", "m").agg(F.count("*").alias("c"))
+    )
+    edge = F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
+        F.expr(f"shiftleft(1L, e) + (m * shiftleft(1L, e) div {sub})"))
+    w = Window.orderBy("e", "m").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "e", "m",
+        edge.alias("est"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("n"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        list(quantiles), "q_num int, q_den int")
+    rank = F.expr("(q_num * n + q_den - 1) div q_den")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= rank)
+        .groupBy("q_num", "q_den")
+        .agg(
+            F.max("n").alias("n"),
+            F.min_by("est", (F.col("e") + 1) * sub + F.col("m"))
+             .alias("est"),
+        )
+    )

@@ -180,3 +180,88 @@ def test_triangle_counts_empty_input(spark):
     out = triangle_counts(df)
     assert out.count() == 0
     assert out.columns == ["node", "n_tri"]
+
+
+def _np_hits(edges, iters=8):
+    import numpy as np
+
+    e = {(u, v) for u, v in edges if u != v}
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    idx = {x: i for i, x in enumerate(nodes)}
+    hub = np.ones(len(nodes))
+    for _ in range(iters):
+        auth = np.zeros(len(nodes))
+        for u, v in e:
+            auth[idx[v]] += hub[idx[u]]
+        auth /= auth.sum()
+        hub = np.zeros(len(nodes))
+        for u, v in e:
+            hub[idx[u]] += auth[idx[v]]
+        hub /= hub.sum()
+    return {x: (hub[idx[x]], auth[idx[x]]) for x in nodes}
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "random1", "star",
+                                  "self_loops_and_dups"])
+def test_hits_matches_power_iteration(spark, name):
+    from lectura.graphops import hits
+
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df).collect()}
+    want = _np_hits(edges)
+    assert set(got) == set(want)
+    for x in want:
+        assert got[x][0] == pytest.approx(want[x][0], abs=1e-9)
+        assert got[x][1] == pytest.approx(want[x][1], abs=1e-9)
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hits_empty_input(spark):
+    from lectura.graphops import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = hits(df)
+    assert out.count() == 0
+    assert out.columns == ["node", "hub", "auth"]
+
+
+def _py_lpa(edges, iters=4):
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    lbl = {x: x for x in adj}
+    for _ in range(iters):
+        lbl = {
+            x: min(
+                ((sum(1 for nb in adj[x] if lbl[nb] == l), l)
+                 for l in {lbl[nb] for nb in adj[x]}),
+                key=lambda kv: (-kv[0], kv[1]),
+            )[1]
+            for x in adj
+        }
+    return lbl
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_label_propagation_matches_oracle(spark, name):
+    from lectura.graphops import label_propagation
+
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df).collect()}
+    assert got == _py_lpa(edges)
+
+
+def test_label_propagation_clique_converges(spark):
+    from lectura.graphops import label_propagation
+
+    # a clique converges to one community labelled by its min node
+    k6 = [(i, j) for i in range(10, 16) for j in range(i + 1, 16)]
+    df = spark.createDataFrame(k6, "src long, dst long")
+    got = {r["label"] for r in label_propagation(df).collect()}
+    assert got == {10}

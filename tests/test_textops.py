@@ -1680,3 +1680,70 @@ def test_simhash_band_pairs_handoff_params_equivalent(spark):
                               hot_buckets=hot, dedupe=False)
            .dropDuplicates(["d1", "d2"]).collect()}
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# D9 — log-linear histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def _exact_quantile(vals, num, den):
+    s = sorted(vals)
+    r = -((-num * len(s)) // den)  # ceil(num*n/den), rank 1-based
+    return s[max(r, 1) - 1]
+
+
+def test_quantile_sketch_error_bound(spark):
+    """est is the lower edge of the bin holding the exact quantile:
+    est <= exact and exact < est * (1 + 1/sub) (+1 slack for the
+    integer-floored edge at small values)."""
+    from lectura.textops import log_quantile_sketch
+
+    import random
+    rng = random.Random(7)
+    vals = ([rng.randrange(1, 10**6) for _ in range(3000)]
+            + [0, 1, 2, 3, 2**20, 2**20 - 1, 10**9])
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = {(r["q_num"], r["q_den"]): (r["n"], r["est"])
+           for r in log_quantile_sketch(df, "x").collect()}
+    assert len(out) == 3
+    for (num, den), (n, est) in out.items():
+        assert n == len(vals)
+        exact = _exact_quantile(vals, num, den)
+        assert est <= exact
+        assert exact < est * (1 + 1.0 / 16) + 1
+
+
+def test_quantile_sketch_merge_associative(spark):
+    """sketch(A ∪ B) == sketch over the union — the histogram is the
+    state, so splitting the input cannot change any estimate."""
+    from lectura.textops import log_quantile_sketch
+
+    a = [(i * i,) for i in range(1, 400)]
+    b = [(i * 7 + 3,) for i in range(500)]
+    whole = spark.createDataFrame(a + b, "x long")
+    split = (spark.createDataFrame(a, "x long")
+             .unionByName(spark.createDataFrame(b, "x long"))
+             .repartition(7))
+    rows = lambda df: sorted(
+        map(tuple, log_quantile_sketch(df, "x").collect()))
+    assert rows(whole) == rows(split)
+
+
+def test_quantile_sketch_edges(spark):
+    from lectura.textops import log_quantile_sketch
+
+    # empty / all-NULL input -> no rows
+    empty = spark.createDataFrame([], "x long")
+    assert log_quantile_sketch(empty, "x").count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "x long")
+    assert log_quantile_sketch(nulls, "x").count() == 0
+    # constant column: every quantile = the constant's bin lower edge
+    const = spark.createDataFrame([(40,)] * 10, "x long")
+    got = {(r["q_num"], r["q_den"]): r["est"]
+           for r in log_quantile_sketch(const, "x").collect()}
+    # 40 -> e=5, m=(40-32)*16//32=4, edge=32+4*32//16=40 (exact)
+    assert set(got.values()) == {40}
+    # zeros and negatives clamp to the v=0 bin with est 0
+    z = spark.createDataFrame([(0,), (-5,), (-1,)], "x long")
+    gz = {r["est"] for r in log_quantile_sketch(z, "x").collect()}
+    assert gz == {0}
