@@ -1634,6 +1634,59 @@ def graph_labelprop_g6(spark, sf_dir):
         _sim_edges(spark, sf_dir), src="d1", dst="d2", iters=4)
 
 
+# C8 — redirect-chain resolution (301/rel=canonical alias chains) by
+# pointer doubling. Fixture: a deterministic next-hop map over the
+# contiguous customer keys — 2-cycles at u≡1,2 (mod 500), terminals at
+# u≡0 (mod 100), descending chains elsewhere — which exercises every
+# case: short resolved chains, chains longer than the 32-hop cap
+# (u≡33..99 mod 100), pure cycles, and chains that LEAD INTO a cycle
+# (3→2→1↔2). The oracle walks the same map step-by-step with a
+# recursive CTE; the operator contracts it in log2(32)=5 joins —
+# identical (src, final, hops, resolved) rows either way.
+@q(
+    "redirect_chains_c8",
+    """
+    WITH RECURSIVE nodes AS (SELECT c_custkey AS u FROM customer),
+    edges AS (
+      SELECT u, CASE WHEN u % 500 = 1 THEN u + 1
+                     WHEN u % 500 = 2 THEN u - 1
+                     WHEN u % 100 = 0 THEN NULL
+                     ELSE u - 1 END AS v
+      FROM nodes),
+    e AS (SELECT u, min(v) AS v FROM edges
+          WHERE v IS NOT NULL GROUP BY u),
+    walk(src, cur, h, term) AS (
+      SELECT e.u, e.v, CAST(1 AS BIGINT), t.u IS NULL
+      FROM e LEFT JOIN e t ON e.v = t.u
+      UNION ALL
+      SELECT w.src, e2.v, w.h + 1, t2.u IS NULL
+      FROM walk w JOIN e e2 ON w.cur = e2.u
+      LEFT JOIN e t2 ON e2.v = t2.u
+      WHERE NOT w.term AND w.h < 32
+    )
+    SELECT src, cur AS final, h AS hops, term AS resolved
+    FROM walk WHERE term OR h = 32
+    """,
+)
+def redirect_chains_c8(spark, sf_dir):
+    from lectura.graphops import resolve_chains
+
+    u = F.col("u")
+    nxt = (
+        F.when(u % 500 == 1, u + 1)
+        .when(u % 500 == 2, u - 1)
+        .when(u % 100 == 0, F.lit(None))
+        .otherwise(u - 1)
+    )
+    edges = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("u"))
+        .select("u", nxt.alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    return resolve_chains(edges, src="u", dst="v", max_hops=32)
+
+
 # Text quality scoring (length / stopword / vocabulary-diversity signals)
 @q(
     "text_quality",

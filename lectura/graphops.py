@@ -422,3 +422,60 @@ def label_propagation(edges: DataFrame, src: str = "src",
             .localCheckpoint()
         )
     return lbl
+
+
+def resolve_chains(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   max_hops: int = 32) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling (Wyllie-style
+    path contraction): given a next-hop mapping — HTTP 301/302 chains,
+    rel=canonical links, URL alias tables — return, for every source,
+    (src, final, hops, resolved) where ``final`` is the node reached
+    after following the chain to a node with no outgoing edge
+    (``resolved`` = true, ``hops`` = exact chain length) or after
+    exactly ``max_hops`` steps (``resolved`` = false: a cycle, a chain
+    into a cycle, or a chain longer than the cap — the standard crawler
+    give-up semantics). ``max_hops`` must be a power of two. Multiple
+    outgoing edges per source collapse deterministically to min(dst);
+    self-loops are kept (they are 1-cycles, never terminal).
+
+    Scale shape: ceil(log2(max_hops)) rounds, each ONE self-equi-join
+    of the state table on the current pointer plus a narrow projection
+    — a 10^8-long redirect chain set resolves in 5 joins at the
+    default cap instead of 32 sequential probes; state rows are slim
+    (3 columns), lineage truncates every round. After k rounds every
+    chain of length ≤ 2^k is fully contracted and an unresolved row's
+    hop count has exactly doubled, so the cap falls out of the round
+    count — no per-row iteration bookkeeping."""
+    if max_hops < 1 or max_hops & (max_hops - 1):
+        raise ValueError("max_hops must be a power of two")
+    m = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .groupBy("u").agg(F.min("v").alias("p"))
+        .localCheckpoint()
+    )
+    state = m.select(
+        "u", F.col("p").alias("cur"),
+        F.lit(1).cast("long").alias("hops"))
+    rounds = max_hops.bit_length() - 1  # log2 of the power of two
+    for _ in range(rounds):
+        nxt = state.select(F.col("u").alias("u2"),
+                           F.col("cur").alias("cur2"),
+                           F.col("hops").alias("h2"))
+        state = (
+            state.join(nxt, state["cur"] == nxt["u2"], "left")
+            .select(
+                "u",
+                F.coalesce("cur2", "cur").alias("cur"),
+                (F.col("hops")
+                 + F.coalesce("h2", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    term = m.select(F.col("u").alias("t"))
+    return (
+        state.join(term, state["cur"] == term["t"], "left")
+        .select(
+            F.col("u").alias("src"), F.col("cur").alias("final"),
+            "hops", F.col("t").isNull().alias("resolved"),
+        )
+    )

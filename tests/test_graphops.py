@@ -265,3 +265,61 @@ def test_label_propagation_clique_converges(spark):
     df = spark.createDataFrame(k6, "src long, dst long")
     got = {r["label"] for r in label_propagation(df).collect()}
     assert got == {10}
+
+
+def _py_resolve(edges, max_hops=32):
+    nxt = {}
+    for u, v in edges:
+        nxt[u] = min(nxt.get(u, v), v)
+    out = {}
+    for u in nxt:
+        cur, h = nxt[u], 1
+        while cur in nxt and h < max_hops:
+            cur, h = nxt[cur], h + 1
+        out[u] = (cur, h, cur not in nxt)
+    return out
+
+
+CHAINS = {
+    "plain": [(i, i - 1) for i in range(1, 10)],
+    "self_loop": [(5, 5), (6, 5), (1, 0)],
+    "two_cycle": [(1, 2), (2, 1), (3, 2), (4, 3)],
+    "long_chain": [(i, i - 1) for i in range(1, 100)],
+    "multi_edge_min": [(1, 9), (1, 3), (3, 0)],
+    "branching_in": [(1, 0), (2, 0), (3, 1), (4, 1)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CHAINS))
+def test_resolve_chains_matches_walker(spark, name):
+    from lectura.graphops import resolve_chains
+
+    edges = CHAINS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["src"]: (r["final"], r["hops"], r["resolved"])
+           for r in resolve_chains(df).collect()}
+    assert got == _py_resolve(edges)
+
+
+@pytest.mark.parametrize("cap", [1, 4, 64])
+def test_resolve_chains_caps(spark, cap):
+    from lectura.graphops import resolve_chains
+
+    edges = CHAINS["long_chain"]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["src"]: (r["final"], r["hops"], r["resolved"])
+           for r in resolve_chains(df, max_hops=cap).collect()}
+    assert got == _py_resolve(edges, max_hops=cap)
+
+
+def test_resolve_chains_edges(spark):
+    from lectura.graphops import resolve_chains
+
+    with pytest.raises(ValueError):
+        resolve_chains(
+            spark.createDataFrame([(1, 0)], "src long, dst long"),
+            max_hops=12)
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = resolve_chains(empty)
+    assert out.count() == 0
+    assert out.columns == ["src", "final", "hops", "resolved"]
