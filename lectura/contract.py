@@ -3479,6 +3479,25 @@ def cms_heavy_hitters_d7(spark, sf_dir):
                              _CMS_CANDIDATES, k=9, d=4, w=64)
 
 
+# ST11 — streaming CMS maintenance: the register table kept as a
+# bounded-state (≤ d·w rows) streaming aggregation over the document
+# stream, then the SAME estimate path as D7 over the collected
+# registers. Counter increments are associative+commutative, so the
+# streamed registers equal the batch build exactly — one oracle SQL
+# string checks both compute paths (streamed here, batch in D7).
+@q("stream_cms_st11", _osql.cms_sql(_CMS_CANDIDATES, k=9, d=4, w=64))
+def stream_cms_st11(spark, sf_dir):
+    from lectura import streaming
+    from lectura.textops import cms_estimates
+
+    docs = streaming.read_event_stream(
+        spark, f"{sf_dir}/documents.parquet",
+        schema=streaming.DOCUMENT_SCHEMA)
+    regs = streaming.collect_stream(
+        streaming.stream_cms_registers(docs, d=4, w=64), spark)
+    return cms_estimates(regs, _CMS_CANDIDATES, k=9, d=4, w=64)
+
+
 # Q16 — blocked fuzzy matching: both engines compute the classic
 # Wagner-Fischer levenshtein on 24-char lowercased prefixes within
 # 4-char blocks; exact integer distances, so hashes match bit-for-bit.

@@ -315,3 +315,29 @@ def collect_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+DOCUMENT_SCHEMA = ("doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+
+
+def stream_cms_registers(docs: DataFrame, d: int = 4, w: int = 64,
+                         text_col: str = "text") -> DataFrame:
+    """ST11 — streaming count-min-sketch maintenance: the CMS register
+    table as a streaming aggregation over the document stream's token
+    cells. State is BOUNDED at d·w rows no matter how long the stream
+    runs — the streaming face of the D7 sketch (an exact groupBy(term)
+    in complete mode would hold the whole unbounded vocabulary in
+    state). Counter increments are associative and commutative, so
+    micro-batch boundaries and arrival order cannot change the final
+    registers: registers(stream) ≡ registers(batch union) — which is
+    exactly what the contract oracle and the multi-batch pytest check.
+
+    The token explode and cell hashing are narrow (scan-stage) ops from
+    the shared cms_register_cells; only slim (r, bucket) cells reach
+    the stateful exchange, and partial aggregation collapses each
+    micro-batch task to ≤ d·w update rows before state lookup."""
+    from lectura.textops import cms_register_cells
+
+    cells = cms_register_cells(docs, d, w, text_col)
+    return cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))

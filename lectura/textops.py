@@ -1532,6 +1532,60 @@ def mix_report(df: DataFrame, group_col: str = "source",
     )
 
 
+def cms_buckets(term_col, d: int, w: int) -> F.Column:
+    """The CMS hash family as one array-of-structs column: row r of the
+    sketch hashes a term as pmod(xxhash64(term || '|' || r), w). Shared
+    by the batch builder, the estimate path, and the streaming register
+    maintainer (ST11) so all three address the identical cells."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(F.xxhash64(F.concat(term_col, F.lit(f"|{r}"))),
+                   F.lit(w)).alias("bucket"))
+        for r in range(d)
+    ])
+
+
+def cms_register_cells(df: DataFrame, d: int = 4, w: int = 1024,
+                       text_col: str = "text") -> DataFrame:
+    """Token occurrences exploded to their d (r, bucket) sketch cells —
+    the pre-aggregation stream every CMS register build starts from.
+    Works on batch AND streaming DataFrames (narrow ops only)."""
+    toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .select(F.explode(cms_buckets(F.col("term"), d, w)).alias("c"))
+        .select("c.r", "c.bucket")
+    )
+
+
+def cms_estimates(counters: DataFrame, candidates: list[str],
+                  k: int = 10, d: int = 4, w: int = 1024) -> DataFrame:
+    """Top-k candidate frequency estimates from a CMS register table
+    (r, bucket, cnt): estimate(t) = min over rows of its counter, 0 for
+    empty buckets; ranked (est DESC, term ASC). The register table is
+    ≤ d·w rows, so the candidate join broadcasts."""
+    from pyspark.sql import Window
+
+    spark = counters.sparkSession
+    candidates = list(dict.fromkeys(candidates))  # first-occurrence dedup
+    cand = spark.createDataFrame([(t,) for t in candidates], "term string")
+    chash = (
+        cand.select("term",
+                    F.explode(cms_buckets(F.col("term"), d, w)).alias("c"))
+        .select("term", "c.r", "c.bucket")
+    )
+    est = (
+        chash.join(counters, ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+             .alias("est"))
+    )
+    topk = est.orderBy(F.desc("est"), F.asc("term")).limit(k)
+    win = Window.orderBy(F.desc("est"), F.asc("term"))
+    return topk.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
 def cms_heavy_hitters(df: DataFrame, candidates: list[str], k: int = 10,
                       d: int = 4, w: int = 1024,
                       text_col: str = "text") -> DataFrame:
@@ -1552,41 +1606,11 @@ def cms_heavy_hitters(df: DataFrame, candidates: list[str], k: int = 10,
     path hashes only the candidate list and joins the d·w counter
     table. Counters are exact-integer, so the DuckDB oracle matches
     bit-for-bit through the pure-SQL xxhash64 chain."""
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    candidates = list(dict.fromkeys(candidates))  # first-occurrence dedup
-    toks = folded_tokens(F.col(text_col), "[^a-z0-9]+")
-
-    def buckets(term_col):
-        return F.array(*[
-            F.struct(
-                F.lit(r).alias("r"),
-                F.pmod(F.xxhash64(F.concat(term_col, F.lit(f"|{r}"))),
-                       F.lit(w)).alias("bucket"))
-            for r in range(d)
-        ])
-
-    cells = (
-        df.select(F.explode(toks).alias("term"))
-        .select(F.explode(buckets(F.col("term"))).alias("c"))
-        .select("c.r", "c.bucket")
+    counters = (
+        cms_register_cells(df, d, w, text_col)
+        .groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
     )
-    counters = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
-    cand = spark.createDataFrame([(t,) for t in candidates], "term string")
-    chash = (
-        cand.select("term", F.explode(buckets(F.col("term"))).alias("c"))
-        .select("term", "c.r", "c.bucket")
-    )
-    est = (
-        chash.join(counters, ["r", "bucket"], "left")
-        .groupBy("term")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
-             .alias("est"))
-    )
-    topk = est.orderBy(F.desc("est"), F.asc("term")).limit(k)
-    win = Window.orderBy(F.desc("est"), F.asc("term"))
-    return topk.withColumn("rank", F.row_number().over(win).cast("long"))
+    return cms_estimates(counters, candidates, k=k, d=d, w=w)
 
 
 def sentence_udtf():

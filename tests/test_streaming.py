@@ -285,3 +285,62 @@ def test_stream_static_join_stateless(spark, tmp_path):
     # 'error' has no dim row → dropped by the inner join
     assert got == [(1, "view", "engage", 3.0), (3, "click", "engage", 5.0)]
     assert all(not p["stateOperators"] for p in q.recentProgress)
+
+
+# --- ST11: streaming CMS registers — bounded state across batches ---------
+
+DOC_PA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def _doc(i, text):
+    return {"doc_id": i, "text": text, "lang": "en", "source": "s",
+            "n_chars": len(text)}
+
+
+def test_stream_cms_registers_across_batches(spark, tmp_path):
+    """Registers accumulated over two micro-batches must equal the
+    batch build over the union (associative counters), and state stays
+    bounded at d*w rows."""
+    from pyspark.sql import functions as F
+
+    from lectura.textops import cms_estimates, cms_register_cells
+
+    watch = str(tmp_path / "docs_in")
+    _write_batch(watch, 0, [
+        _doc(1, "spark spark window scan"),
+        _doc(2, "the the the batch"),
+    ], DOC_PA_SCHEMA)
+    _write_batch(watch, 1, [
+        _doc(3, "spark merge sort sort"),
+        _doc(4, "window the spark"),
+    ], DOC_PA_SCHEMA)
+
+    d, w = 4, 64
+    docs = (
+        spark.readStream.schema(streaming.DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+    )
+    regs = streaming.collect_stream(
+        streaming.stream_cms_registers(docs, d=d, w=w), spark)
+    assert regs.count() <= d * w  # bounded sketch state
+
+    batch = (
+        cms_register_cells(spark.read.parquet(watch), d, w)
+        .groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    assert (sorted(map(tuple, regs.collect()))
+            == sorted(map(tuple, batch.collect())))
+
+    cands = ["spark", "the", "sort", "absentterm"]
+    got = {r["term"]: r["est"]
+           for r in cms_estimates(regs, cands, k=4, d=d, w=w).collect()}
+    # w=64 may overestimate but never underestimates the true counts
+    assert got["spark"] >= 4 and got["the"] >= 4 and got["sort"] >= 2
