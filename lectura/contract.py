@@ -3498,6 +3498,50 @@ def stream_cms_st11(spark, sf_dir):
     return cms_estimates(regs, _CMS_CANDIDATES, k=9, d=4, w=64)
 
 
+# Q21 — Unicode NFC normalization, cross-IMPLEMENTATION checked: the
+# Spark side is CPython's unicodedata (Arrow-batched UDF), the oracle
+# is DuckDB's ICU-backed nfc_normalize — two independent Unicode
+# libraries must produce identical codepoints over a fixture covering
+# combining marks, precomposed forms, Hangul jamo composition, the
+# U+212B singleton, NFC-invariant compatibility ligatures, and NULL.
+_NFC_FIXTURE = [
+    (1, "e\u0301"),             # combining acute -> U+00E9
+    (2, "\u00e9"),              # already NFC
+    (3, "Cafe\u0301 du Monde"),  # mixed ascii + combining
+    (4, "\u212b"),              # angstrom sign -> U+00C5
+    (5, "\ufb01sh"),            # fi ligature: NFC-invariant
+    (6, "\u1100\u1161\u11a8"),  # Hangul jamo -> U+AC01
+    (7, "plain ascii"),
+    (8, ""),
+    (9, "o\u0308\u0301"),       # stacked combining marks
+    (10, "A\u030a"),            # A + ring -> U+00C5
+    (11, None),
+]
+
+
+@q(
+    "unicode_nfc_q21",
+    """
+    SELECT id, nfc_normalize(s) AS norm,
+           coalesce(nfc_normalize(s) <> s, FALSE) AS changed
+    FROM (VALUES
+      (1, 'e' || chr(769)), (2, chr(233)),
+      (3, 'Cafe' || chr(769) || ' du Monde'),
+      (4, chr(8491)), (5, chr(64257) || 'sh'),
+      (6, chr(4352) || chr(4449) || chr(4520)),
+      (7, 'plain ascii'), (8, ''),
+      (9, 'o' || chr(776) || chr(769)), (10, 'A' || chr(778)),
+      (11, CAST(NULL AS VARCHAR))
+    ) t(id, s)
+    """,
+)
+def unicode_nfc_q21(spark, sf_dir):
+    from lectura.textops import unicode_nfc
+
+    df = spark.createDataFrame(_NFC_FIXTURE, "id int, s string")
+    return unicode_nfc(df, id_col="id", text_col="s")
+
+
 # Q16 — blocked fuzzy matching: both engines compute the classic
 # Wagner-Fischer levenshtein on 24-char lowercased prefixes within
 # 4-char blocks; exact integer distances, so hashes match bit-for-bit.

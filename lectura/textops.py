@@ -1803,3 +1803,39 @@ def log_quantile_sketch(df: DataFrame, col,
              .alias("est"),
         )
     )
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (canonical composition), Arrow-batched
+    over stdlib unicodedata; NULL passes through."""
+    import unicodedata
+
+    return s.map(lambda x: None if x is None
+                 else unicodedata.normalize("NFC", x))
+
+
+def unicode_nfc(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Q21 — Unicode NFC normalization of the text column, the standard
+    pre-hash cleanup in multilingual curation pipelines (CCNet-style
+    dedup must hash 'é' and 'e'+U+0301 together; search/decontamination
+    must match them). Returns (id, norm, changed); NULL text → NULL
+    norm, changed = false.
+
+    Correctness is cross-implementation: the contract oracle runs
+    DuckDB's ICU-backed nfc_normalize over the identical fixture
+    (combining marks, precomposed forms, Hangul jamo composition,
+    singleton replacements like U+212B, and NFC-invariant
+    compatibility ligatures) and the codepoints must agree exactly
+    with CPython's unicodedata.
+
+    Scale shape: zero shuffle — one scan-stage Arrow batch per task;
+    composition is per-row and allocation-light (most web text is
+    already NFC, where normalize() fast-paths to the input string)."""
+    norm = nfc_normalize_udf(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm"),
+        F.coalesce(norm != F.col(text_col), F.lit(False)).alias("changed"),
+    )

