@@ -3542,6 +3542,74 @@ def unicode_nfc_q21(spark, sf_dir):
     return unicode_nfc(df, id_col="id", text_col="s")
 
 
+# X3c — Unicode-script profiling: the oracle is GENERATED from the same
+# SCRIPT_RANGES char-class literals the operator compiles (Java regex
+# and RE2 agree on \x{h..h} classes), so the two engines can never
+# drift on a range boundary. Fixture: one row per script + a
+# priority-tie row + digits-only/NULL/empty 'none' rows, unioned with
+# the (ASCII → latin) documents head.
+_SCRIPT_FIXTURE = [
+    (100001, "abc привет"),
+    (100002, "中文 中文 ok"),
+    (100003, "مرحبا"),
+    (100004, "한글 테스트 abc"),
+    (100005, "γεια σου"),
+    (100006, "12345 !!!"),
+    (100007, None),
+    (100008, "tieбвг"),   # 3 latin vs 3 cyrillic
+    (100009, ""),
+]
+
+
+def _script_sql() -> str:
+    from lectura.textops import SCRIPT_RANGES
+
+    vals = ", ".join(
+        f"({i}, "
+        + ("NULL" if s is None else "'" + s.replace("'", "''") + "'")
+        + ")"
+        for i, s in _SCRIPT_FIXTURE)
+    cols = ", ".join(
+        f"length(regexp_replace(coalesce(s, ''),"
+        f" '[^{rng}]', '', 'g')) AS c_{n}"
+        for n, rng in SCRIPT_RANGES)
+    names = [n for n, _ in SCRIPT_RANGES]
+    tot = " + ".join(f"c_{n}" for n in names)
+    whens = []
+    for i, n in enumerate(names[:-1]):
+        cond = " AND ".join(f"c_{n} >= c_{o}" for o in names[i + 1:])
+        whens.append(f"WHEN {cond} THEN '{n}'")
+    dom = ("CASE WHEN total = 0 THEN 'none' " + " ".join(whens)
+           + f" ELSE '{names[-1]}' END")
+    fr = ", ".join(
+        f"CASE WHEN total = 0 THEN 0.0"
+        f" ELSE round(c_{n} / total, 4) END AS frac_{n}"
+        for n in names)
+    return f"""
+WITH src AS (
+  SELECT CAST(id AS BIGINT) AS id, s
+  FROM (VALUES {vals}) t(id, s)
+  UNION ALL
+  SELECT doc_id AS id, text AS s FROM documents WHERE doc_id < 200
+), counted AS (SELECT id, {cols} FROM src),
+tot AS (SELECT *, {tot} AS total FROM counted)
+SELECT id, {dom} AS script, {fr} FROM tot
+"""
+
+
+@q("script_profile_x3c", _script_sql())
+def script_profile_x3c(spark, sf_dir):
+    from lectura.textops import script_profile
+
+    fix = spark.createDataFrame(_SCRIPT_FIXTURE, "id long, s string")
+    docs = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("s"))
+    )
+    return script_profile(fix.unionByName(docs),
+                          id_col="id", text_col="s")
+
+
 # Q16 — blocked fuzzy matching: both engines compute the classic
 # Wagner-Fischer levenshtein on 24-char lowercased prefixes within
 # 4-char blocks; exact integer distances, so hashes match bit-for-bit.

@@ -1839,3 +1839,57 @@ def unicode_nfc(df: DataFrame, id_col: str = "doc_id",
         norm.alias("norm"),
         F.coalesce(norm != F.col(text_col), F.lit(False)).alias("changed"),
     )
+
+
+# X3c script ranges: (name, regex char-class body) — identical literal
+# text on both engines (Java regex and RE2 both accept \x{h..h}).
+# Order IS the dominant-script tie-break priority.
+SCRIPT_RANGES = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", r"\x{0400}-\x{04FF}"),
+    ("greek", r"\x{0370}-\x{03FF}"),
+    ("cjk", r"\x{4E00}-\x{9FFF}"),
+    ("arabic", r"\x{0600}-\x{06FF}"),
+    ("hangul", r"\x{AC00}-\x{D7AF}"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """X3c — Unicode-script profiling, the signal langid (X3b) cannot
+    give for languages without a stopword profile: per doc, the
+    fraction of script-classified letters falling in each of six major
+    script blocks (Latin, Cyrillic, Greek, CJK unified, Arabic,
+    Hangul), plus a dominant-script label with a fixed priority-order
+    tie-break ('none' when no letter matches any block — digits-only,
+    blank, NULL). Fractions are round(count/total, 4) over the
+    SCRIPT-classified letters, so mixed-script docs (code-switching,
+    boilerplate chrome around CJK body text) profile proportionally.
+
+    Scale shape: zero shuffle — six regexp_replace strip-counts and a
+    when-chain, all scan-stage JVM expressions; no tokenization, no
+    Python. The same six char-class literals drive the DuckDB oracle
+    (Java regex and RE2 agree on \\x{h..h} classes — verified), and
+    counts are integers, so only the final 4dp division rounds."""
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    cnt = {name: F.length(F.regexp_replace(s, f"[^{rng}]", ""))
+           for name, rng in SCRIPT_RANGES}
+    total = None
+    for c in cnt.values():
+        total = c if total is None else total + c
+    dom = F.when(total == 0, F.lit("none"))
+    names = [n for n, _ in SCRIPT_RANGES]
+    for i, n in enumerate(names[:-1]):
+        cond = None
+        for other in names[i + 1:]:
+            c = cnt[n] >= cnt[other]
+            cond = c if cond is None else cond & c
+        dom = dom.when(cond, F.lit(n))
+    dom = dom.otherwise(F.lit(names[-1]))
+    fracs = [
+        F.when(total == 0, F.lit(0.0))
+         .otherwise(F.round(cnt[n] / total, 4)).alias(f"frac_{n}")
+        for n in names
+    ]
+    return df.select(F.col(id_col).alias("id"), dom.alias("script"),
+                     *fracs)

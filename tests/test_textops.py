@@ -1774,3 +1774,32 @@ def test_unicode_nfc_parity_and_idempotence(spark):
         F.col("id"), F.col("norm").alias("s"))
     again = unicode_nfc(once, "id", "s")
     assert again.filter(F.col("changed")).count() == 0
+
+
+def test_script_profile_fixture(spark):
+    from lectura.textops import script_profile
+
+    rows = [
+        (1, "abc привет"),   # cyr 6 > lat 3
+        (2, "中文中文 ok"),                # cjk 4 > lat 2
+        (3, "tieбвг"),                      # 3=3 -> latin
+        (4, "123 !!!"),                                    # none
+        (5, None),                                         # none
+        (6, "가각 م"),                        # hangul 2 > arabic 1
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r["id"]: r for r in
+           script_profile(df, "id", "s").collect()}
+    assert got[1]["script"] == "cyrillic"
+    assert got[1]["frac_cyrillic"] == pytest.approx(6 / 9, abs=1e-4)
+    assert got[2]["script"] == "cjk"
+    assert got[3]["script"] == "latin"     # priority-order tie-break
+    assert got[4]["script"] == "none"
+    assert got[4]["frac_latin"] == 0.0
+    assert got[5]["script"] == "none"
+    assert got[6]["script"] == "hangul"
+    # fractions sum to ~1 wherever letters exist
+    for i in (1, 2, 3, 6):
+        s = sum(got[i][f"frac_{n}"] for n in
+                ("latin", "cyrillic", "greek", "cjk", "arabic", "hangul"))
+        assert s == pytest.approx(1.0, abs=5e-4)
