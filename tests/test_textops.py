@@ -669,9 +669,12 @@ def test_pii_scrub_matches_pure(spark):
     from lectura.textops import PII_PATTERNS, pii_scrub
 
     rows = [
-        (1, "e\u0301"), (2, "\u00e9"), (3, "A\u030a pple"),
-        (4, "\u212b"), (5, "\ufb01sh"), (6, "\u1100\u1161\u11a8"),
-        (7, "ascii only"), (8, ""), (9, "o\u0308\u0301"), (10, None),
+        (1, "mail a.b+c@x-y.co or d@e.io, ip 10.0.255.1, +1 (415) 555-0199"),
+        (2, "ver 1.2.3.4.5 and 255.255.255.255 end"),   # quad inside quint
+        (3, "digits 12 34 nothing"),                     # too short for phone
+        (4, None),
+        (5, "call 415 555 0199 or 4155550199 x"),
+        (6, "plain text"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.text_clean)
