@@ -566,3 +566,60 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_script_profile_zero_shuffle(spark):
+    """X3c must be pure scan-stage JVM expressions — no Exchange, no
+    Python node; six regexp strip-counts and a when-chain only."""
+    from lectura.textops import script_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["abc xyz"]}))
+    plan = plan_of(script_profile(df))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_quantile_sketch_partial_agg_histogram(spark):
+    """D9's only corpus-sized operator must be ONE partial-aggregating
+    hash agg on the (e, m) bin key — map-side combine collapses every
+    task to <= 64*sub rows before the exchange (the mergeable-sketch
+    point); no Python, no corpus-sized window."""
+    from lectura.textops import log_quantile_sketch
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "x": [7, 40]}))
+    plan = plan_of(log_quantile_sketch(df, "x"))
+    # no Python EXECUTION node (the quantile-literal 3-row scan prints
+    # 'applySchemaToPythonRDD', which is driver-side construction)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
+    # partial then final agg on the bin key around the bin exchange
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    hash_aggs = [b for b in blocks if b.startswith("HashAggregate")]
+    assert any("partial_count" in b or "Partial" in b
+               for b in hash_aggs), plan
+    bin_exchanges = [b for b in blocks if b.startswith("Exchange")
+                     and "e#" in b and "m#" in b]
+    assert bin_exchanges, plan
+
+
+def test_resolve_chains_join_rounds(spark):
+    """Pointer doubling at cap 32 must plan exactly 5 state self-joins
+    (log2(32)) plus the terminal-flag join — never 32 sequential
+    probes. Counted as SortMergeJoin/BroadcastHashJoin/ShuffledHashJoin
+    LeftOuter blocks over the localCheckpoint-truncated lineage of the
+    LAST round (each round's plan is truncated, so the final plan shows
+    one round: one left join + the terminal join)."""
+    from lectura.graphops import resolve_chains
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3], "dst": [0, 1, 2]}))
+    out = resolve_chains(df, max_hops=32)
+    plan = plan_of(out)
+    # lineage truncation: the visible plan is the final round + the
+    # resolved-flag join only — bounded regardless of the cap
+    joins = [b for b in re.split(r"\n\(\d+\) ", plan)
+             if "Join" in b.split("\n")[0]]
+    assert 1 <= len(joins) <= 3, plan
