@@ -1163,6 +1163,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, min_inter=2)
 
 
+# DD2b — one-sided containment pairs (the asymmetric-duplication case
+# symmetric Jaccard misses: a short doc quoted wholesale inside a long
+# one). Same inverted-index + max_df skeleton and fixture as DD2; the
+# oracle only swaps the final ratio columns.
+@q(
+    "dedup_containment_dd2b",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in generate_series(1, greatest(len(w)-2, 1))]) AS s
+      FROM words
+    ), sh2 AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    keep AS (SELECT s FROM sh2 GROUP BY s HAVING count(*) <= 1000),
+    sh3 AS (SELECT doc_id, s FROM sh2 SEMI JOIN keep USING (s)),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT d1, d2, inter,
+           round(inter / s1.n, 4) AS c12,
+           round(inter / s2.n, 4) AS c21
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE greatest(round(inter / s1.n, 4), round(inter / s2.n, 4)) >= 0.05
+    """,
+)
+def dedup_containment_dd2b(spark, sf_dir):
+    from lectura.textops import containment_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return containment_pairs(docs, n=3, min_containment=0.05,
+                             min_inter=2)
+
+
 # MinHash+LSH near-dup. Full DuckDB oracle: the shingle/band hash is
 # Spark's xxhash64, re-implemented in pure SQL (lectura/oracle_sql.py —
 # HUGEINT arithmetic validated against the public XXH64 vectors and

@@ -1893,3 +1893,50 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
     ]
     return df.select(F.col(id_col).alias("id"), dom.alias("script"),
                      *fracs)
+
+
+def containment_pairs(df: DataFrame, n: int = 3,
+                      min_containment: float = 0.0, min_inter: int = 2,
+                      max_df: int = 1000) -> DataFrame:
+    """DD2b — one-sided near-dup CONTAINMENT pairs: for each candidate
+    pair, c12 = inter/|shingles(d1)| (the fraction of d1 living inside
+    d2) and c21 = inter/|shingles(d2)|; a pair is emitted when either
+    direction reaches ``min_containment``. Catches the asymmetric
+    duplication symmetric Jaccard (DD2) misses by construction: a short
+    doc quoted wholesale inside a long one has c12 ≈ 1 while
+    J = inter/(n1+n2−inter) ≈ n1/n2 ≈ 0 — the RefinedWeb/quotation
+    case a dedup ladder must flag.
+
+    Same scale discipline as ngram_jaccard_pairs: inverted shingle
+    index (never all-pairs), ``max_df`` hot-shingle cap bounding the
+    self-join fan-out at df² per admitted shingle; dropping capped
+    shingles undercounts inter while sizes stay full, so both
+    containments are conservative. One extra join against the size
+    table; 4dp rounding matches the oracle exactly."""
+    sh = word_ngrams(df, n=n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    s1 = sizes.select(F.col("id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn("c12", F.round(F.col("inter") / F.col("n1"), 4))
+        .withColumn("c21", F.round(F.col("inter") / F.col("n2"), 4))
+        .filter(F.greatest("c12", "c21") >= min_containment)
+        .select("d1", "d2", "inter", "c12", "c21")
+    )

@@ -1806,3 +1806,44 @@ def test_script_profile_fixture(spark):
         s = sum(got[i][f"frac_{n}"] for n in
                 ("latin", "cyrillic", "greek", "cjk", "arabic", "hangul"))
         assert s == pytest.approx(1.0, abs=5e-4)
+
+
+def test_containment_pairs_asymmetric_case(spark):
+    """The operator's reason to exist: a short doc wholly inside a long
+    one must show c(short in long) = 1.0 while Jaccard stays small; and
+    containment must match a brute-force shingle computation."""
+    from lectura.textops import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, short), (2, long_), (3, "unrelated words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["d1"], r["d2"]): (r["inter"], r["c12"], r["c21"])
+           for r in containment_pairs(df, n=3, min_inter=2).collect()}
+    def shingles(s):
+        w = s.split()
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+    s1, s2 = shingles(short), shingles(long_)
+    inter = len(s1 & s2)
+    assert got[(1, 2)] == (inter, round(inter / len(s1), 4),
+                           round(inter / len(s2), 4))
+    assert got[(1, 2)][1] == 1.0          # short fully contained
+    assert (3, 2) not in got and (1, 3) not in got
+    jac = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, n=3, min_inter=2).collect()}
+    assert jac[(1, 2)] < 0.05             # Jaccard blind to the quote
+
+
+def test_containment_pairs_threshold_and_empty(spark):
+    from lectura.textops import containment_pairs
+
+    rows = [(1, "a b c d e"), (2, "a b c z y"), (3, "q r s t u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # shared shingle 'a b c' only -> inter=1 < min_inter=2 -> no rows
+    assert containment_pairs(df, n=3, min_inter=2).count() == 0
+    got = containment_pairs(df, n=3, min_inter=1,
+                            min_containment=0.5).collect()
+    assert len(got) == 0  # 1/3 containment below 0.5
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(empty).count() == 0
