@@ -3433,6 +3433,45 @@ def quantile_sketch_d9(spark, sf_dir):
     return a.unionByName(b)
 
 
+# D9b — grouped quantile sketch (per-host gap percentiles, per-language
+# length percentiles): same integer pipeline as D9 with the histogram
+# keyed (group, e, m) and the windows partitioned by group — the
+# single-partition global window disappears and per-group state stays
+# ≤ 64·sub bins.
+@q(
+    "quantile_sketch_grouped_d9b",
+    """
+    WITH s AS (SELECT l_returnflag AS grp,
+                      greatest(CAST(l_quantity AS BIGINT), 0) AS v
+               FROM lineitem WHERE l_quantity IS NOT NULL),
+    e AS (SELECT grp, v, CASE WHEN v <= 0 THEN -1
+           ELSE length(to_base(v, 2)) - 1 END AS e FROM s),
+    h AS (SELECT grp, e, CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+           ELSE ((v - (CAST(1 AS BIGINT) << e)) * 16)
+                // (CAST(1 AS BIGINT) << e) END AS m FROM e),
+    g AS (SELECT grp, e, m, count(*) AS c FROM h GROUP BY grp, e, m),
+    cum AS (SELECT grp, e, m,
+      CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+        ELSE (CAST(1 AS BIGINT) << e)
+             + (m * (CAST(1 AS BIGINT) << e)) // 16 END AS est,
+      CAST(sum(c) OVER (PARTITION BY grp ORDER BY e, m) AS BIGINT)
+        AS cum,
+      CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM g)
+    SELECT grp, q_num, q_den, max(n) AS n,
+           min_by(est, (e + 1) * 16 + m) AS est
+    FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den)
+    JOIN cum ON cum >= (q_num * n + q_den - 1) // q_den
+    GROUP BY grp, q_num, q_den
+    """,
+)
+def quantile_sketch_grouped_d9b(spark, sf_dir):
+    from lectura.textops import log_quantile_sketch
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_quantity")
+    return log_quantile_sketch(li, "l_quantity", group_col="grp")
+
+
 # SEL4 — Efraimidis–Spirakis weighted sampling: deterministic keyed
 # uniform (pmod(xxhash64(key|salt), 2^20)+0.5)/2^20, rank key
 # round(ln(u)/w, 9) DESC — both engines pick the identical weighted

@@ -1734,7 +1734,8 @@ def hll_estimate(df: DataFrame, col, p: int = 6,
 
 def log_quantile_sketch(df: DataFrame, col,
                         quantiles=((1, 2), (9, 10), (99, 100)),
-                        sub: int = 16) -> DataFrame:
+                        sub: int = 16,
+                        group_col: str | None = None) -> DataFrame:
     """D9 — mergeable log-linear histogram quantile sketch over a
     non-negative integer metric column (chars, tokens, bytes, latency
     µs): one (exponent, mantissa-bucket) bin per value — e =
@@ -1760,33 +1761,41 @@ def log_quantile_sketch(df: DataFrame, col,
     most 64·sub rows regardless of input size (the mergeable-sketch
     point; union-then-sketch ≡ sketch-then-merge by associativity of
     count). The cumulative window and quantile probe then run over
-    ≤ ~1k bins, bounded by construction."""
+    ≤ ~1k bins, bounded by construction.
+
+    ``group_col`` (D9b): per-group quantiles — per-host inter-fetch-gap
+    p50/p99, per-language doc-length percentiles — with the SAME state
+    bound per group (histogram keys become (group, e, m); the windows
+    partition by group, so no group's bin table ever exceeds 64·sub
+    rows and the single-partition global window disappears). Output
+    gains a leading group column."""
     from pyspark.sql import Window
 
     c = col if not isinstance(col, str) else F.col(col)
+    g = [group_col] if group_col else []
     v = F.greatest(c.cast("long"), F.lit(0).cast("long"))
     e = F.when(v <= 0, F.lit(-1)).otherwise(F.length(F.bin(v)) - 1)
     hist = (
         df.filter(c.isNotNull())
-        .select(v.alias("v"), e.cast("int").alias("e"))
+        .select(*g, v.alias("v"), e.cast("int").alias("e"))
         .select(
-            "e",
+            *g, "e",
             F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
                 F.expr(f"(v - shiftleft(1L, e)) * {sub}"
                        f" div shiftleft(1L, e)")).alias("m"),
         )
-        .groupBy("e", "m").agg(F.count("*").alias("c"))
+        .groupBy(*g, "e", "m").agg(F.count("*").alias("c"))
     )
     edge = F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
         F.expr(f"shiftleft(1L, e) + (m * shiftleft(1L, e) div {sub})"))
-    w = Window.orderBy("e", "m").rowsBetween(
+    w = Window.partitionBy(*g).orderBy("e", "m").rowsBetween(
         Window.unboundedPreceding, 0)
     cum = hist.select(
-        "e", "m",
+        *g, "e", "m",
         edge.alias("est"),
         F.sum("c").over(w).alias("cum"),
         F.sum("c").over(
-            Window.partitionBy().rowsBetween(
+            Window.partitionBy(*g).rowsBetween(
                 Window.unboundedPreceding,
                 Window.unboundedFollowing)).alias("n"),
     )
@@ -1796,7 +1805,7 @@ def log_quantile_sketch(df: DataFrame, col,
     return (
         cum.crossJoin(F.broadcast(qdf))
         .filter(F.col("cum") >= rank)
-        .groupBy("q_num", "q_den")
+        .groupBy(*g, "q_num", "q_den")
         .agg(
             F.max("n").alias("n"),
             F.min_by("est", (F.col("e") + 1) * sub + F.col("m"))

@@ -1847,3 +1847,25 @@ def test_containment_pairs_threshold_and_empty(spark):
     assert len(got) == 0  # 1/3 containment below 0.5
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert containment_pairs(empty).count() == 0
+
+
+def test_quantile_sketch_grouped_matches_ungrouped_per_group(spark):
+    """D9b: per-group output must equal running the ungrouped sketch
+    on each group's rows separately."""
+    import random
+
+    from lectura.textops import log_quantile_sketch
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.randrange(0, 10**5)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    grouped = {(r["grp"], r["q_num"], r["q_den"]): (r["n"], r["est"])
+               for r in log_quantile_sketch(
+                   df, "x", group_col="grp").collect()}
+    for gname in ("g0", "g1", "g2"):
+        solo = {(gname, r["q_num"], r["q_den"]): (r["n"], r["est"])
+                for r in log_quantile_sketch(
+                    df.filter(F.col("grp") == gname), "x").collect()}
+        for k, v in solo.items():
+            assert grouped[k] == v
+    assert len(grouped) == 9
