@@ -102,10 +102,16 @@ def test_zorder_prunes_both_dimensions(grid_layouts):
     y_band = [("y", 0, 7)]
     assert _files_hit(lfiles, y_band) == len(lfiles)
     assert _files_hit(zfiles, y_band) <= len(zfiles) // 2
-    # box predicate: z-order prunes strictly better than the linear sort
+    # box predicate: the [0,16)^2 quadrant is 1/16 of the space, so the
+    # z-layout must confine it to a few files; the x-sorted layout needs
+    # every file whose x-range touches [0,15]. Both counts wobble ±1
+    # with repartitionByRange's sampled bounds (a strict < flaked when
+    # both sampled to the same boundary value), so pin the absolute
+    # z-side bound and never-worse relative to the linear layout.
     box = [("x", 0, 15), ("y", 0, 15)]
     z_hit, l_hit = _files_hit(zfiles, box), _files_hit(lfiles, box)
-    assert z_hit < l_hit
+    assert z_hit <= l_hit
+    assert z_hit <= len(zfiles) // 4
     # x-only predicate: the linear layout's home turf — z-order must
     # still prune (tight x envelopes survive the interleave)
     x_band = [("x", 0, 7)]
