@@ -84,7 +84,7 @@ OPERATOR_QUERIES = [
     "graph_hits_g5", "graph_labelprop_g6", "quantile_sketch_d9",
     "redirect_chains_c8", "stream_cms_st11", "unicode_nfc_q21",
     "script_profile_x3c", "dedup_containment_dd2b",
-    "quantile_sketch_grouped_d9b",
+    "quantile_sketch_grouped_d9b", "anchor_hits_g7",
 ]
 
 

@@ -1580,18 +1580,19 @@ def graph_triangles_g4(spark, sf_dir):
     return triangle_counts(pairs, src="p1", dst="p2")
 
 
-def _hits_oracle(iters: int = 8) -> str:
-    # Unrolled HITS power iteration over the DIRECTED sim edges
-    # (d1 -> d2): four chained CTEs per iteration (raw authority pull,
-    # L1-normalize, raw hub pull, L1-normalize) — mirrors the
-    # fixed-iteration Spark loop exactly. LEFT JOINs keep zero-degree
-    # sides at 0.0 rather than dropping them.
-    # edges0 inlines the whole shingle pipeline per reference; the 8
-    # unrolled iterations reference it 16 times, so materialize one
-    # copy (and every per-iteration CTE that is referenced twice) or
-    # DuckDB re-opens the parquet per inline and runs out of fds.
+def _hits_oracle(iters: int = 8, edges_with: str | None = None) -> str:
+    # Unrolled HITS power iteration over DIRECTED edges exposed by an
+    # `edges0(d1, d2)` CTE (default: the sim-graph pipeline): four
+    # chained CTEs per iteration (raw authority pull, L1-normalize,
+    # raw hub pull, L1-normalize) — mirrors the fixed-iteration Spark
+    # loop exactly. LEFT JOINs keep zero-degree sides at 0.0 rather
+    # than dropping them.
+    # edges0 inlines its whole pipeline per reference; the 8 unrolled
+    # iterations reference it 16 times, so materialize one copy (and
+    # every per-iteration CTE that is referenced twice) or DuckDB
+    # re-opens the parquet per inline and runs out of fds.
     ctes = [
-        f"WITH {_SIM_GRAPH_CTES}",
+        f"WITH {edges_with if edges_with is not None else _SIM_GRAPH_CTES}",
         "eh AS MATERIALIZED (SELECT d1, d2 FROM edges0)",
         "nodes AS MATERIALIZED (SELECT d1 AS node FROM eh"
         " UNION SELECT d2 FROM eh)",
@@ -1672,6 +1673,56 @@ def graph_labelprop_g6(spark, sf_dir):
 
     return label_propagation(
         _sim_edges(spark, sf_dir), src="d1", dst="d2", iters=4)
+
+
+# G7 — HITS over the REAL extracted anchor graph: the X1 anchor-
+# extraction UDF produces the edge list (listing page -> href target;
+# a hub page every listing links, a next-page ring, and a home link
+# from every third page), then the G5 operator scores it. The oracle
+# constructs the same edge set arithmetically (the anchor_text_g3
+# fixture discipline — extraction semantics are pinned there and in
+# pure-Python spec tests) and runs the same unrolled HITS chain. This
+# checks the composition: extraction output is byte-compatible with
+# the graph operator's node identity (host lowercasing, absolute-href
+# passthrough), not just each operator alone.
+_G7_EDGES = """ks AS (SELECT s_suppkey AS k FROM supplier),
+edges0 AS (
+  SELECT 'http://s' || k || '.example/list' AS d1,
+         'http://hub.example/' AS d2 FROM ks
+  UNION ALL
+  SELECT 'http://s' || k || '.example/list',
+         'http://s' || (k + 1) || '.example/list' FROM ks
+  UNION ALL
+  SELECT 'http://s' || k || '.example/list',
+         'http://s0.example/list' FROM ks WHERE k % 3 = 2
+)"""
+
+
+@q("anchor_hits_g7", _hits_oracle(edges_with=_G7_EDGES))
+def anchor_hits_g7(spark, sf_dir):
+    from lectura.extract import extract_anchors_udf
+    from lectura.graphops import hits
+
+    s = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    base = F.format_string("http://s%d.example/list", F.col("k"))
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<a href="http://hub.example/">Hub</a>'),
+        F.format_string('<a href="http://s%d.example/list">next</a>',
+                        F.col("k") + 1),
+        F.when(F.col("k") % 3 == 2,
+               F.lit('<a href="http://s0.example/list">home</a>'))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    edges = (
+        s.select(base.alias("src"),
+                 F.explode(extract_anchors_udf(html, base)).alias("a"))
+        .select("src", F.col("a.url").alias("dst"))
+    )
+    return hits(edges, iters=8).select(
+        "node", F.round("hub", 4).alias("hub"),
+        F.round("auth", 4).alias("auth"))
 
 
 # C8 — redirect-chain resolution (301/rel=canonical alias chains) by
