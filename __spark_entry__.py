@@ -51,9 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
         )
         crawler.init_tables(pages, seeds, robots)
         crawler.run(2)
-        # materialize before the temp warehouse disappears
-        rows = crawler.scheduled_df(2).collect()
-        return spark.createDataFrame(rows)
+        # materialize before the temp warehouse disappears; the explicit
+        # schema makes a zero-row round a clean empty frame instead of a
+        # createDataFrame schema-inference crash (VERDICT r4 nit)
+        sdf = crawler.scheduled_df(2)
+        rows = sdf.collect()
+        return spark.createDataFrame(rows, sdf.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

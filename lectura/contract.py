@@ -1593,7 +1593,12 @@ def _hits_oracle(iters: int = 8, edges_with: str | None = None) -> str:
     # re-opens the parquet per inline and runs out of fds.
     ctes = [
         f"WITH {edges_with if edges_with is not None else _SIM_GRAPH_CTES}",
-        "eh AS MATERIALIZED (SELECT d1, d2 FROM edges0)",
+        # defensive edge normalization mirroring graphops.hits (ADVICE
+        # r4): the operator applies .distinct() and u != v before
+        # iterating, so an edges_with fixture that emits a duplicate or
+        # self-loop edge must not silently diverge oracle from operator
+        "eh AS MATERIALIZED (SELECT DISTINCT d1, d2 FROM edges0"
+        " WHERE d1 <> d2)",
         "nodes AS MATERIALIZED (SELECT d1 AS node FROM eh"
         " UNION SELECT d2 FROM eh)",
         "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
@@ -1643,8 +1648,10 @@ def graph_hits_g5(spark, sf_dir):
 def _lpa_oracle(iters: int = 4) -> str:
     # Unrolled synchronous label propagation: two CTEs per round —
     # neighbor-label counts, then the modal label with ties to the
-    # smallest via the same zero-padded composite min_by key the Spark
-    # operator (and anchor_summary) uses. Integer-only: exact hash match.
+    # smallest via the same struct-ordered min key the Spark operator
+    # uses (min(struct(-cnt, label)).label — signed-correct, unlike the
+    # former zero-padded printf key; ADVICE r4). Integer-only: exact
+    # hash match.
     ctes = [
         f"WITH {_SIM_GRAPH_CTES}",
         "sym AS (SELECT d1 AS u, d2 AS v FROM edges0"
@@ -1658,9 +1665,8 @@ def _lpa_oracle(iters: int = 4) -> str:
             f" GROUP BY s.u, p.label)"
         )
         ctes.append(
-            f"l{i} AS (SELECT node, min_by(label,"
-            f" printf('%013d|%020d', 1000000000000 - cnt, label))"
-            f" AS label FROM c{i} GROUP BY node)"
+            f"l{i} AS (SELECT node, (min(struct_pack(nc := -cnt,"
+            f" l := label))).l AS label FROM c{i} GROUP BY node)"
         )
     return ", ".join(ctes) + f" SELECT node, label FROM l{iters}"
 

@@ -116,11 +116,14 @@ def connected_components(edges: DataFrame, src: str = "src",
     threshold — the 10^10-doc design point, where the pair graph is
     corpus-sized — the distributed path runs unchanged. Default None =
     always distributed (contract oracles pin the iterative plan).
-    Driver-path node/component columns are BIGINT regardless of input
-    width."""
+    Both paths return node/component in the INPUT node-id type (the
+    driver path computes in int64 and casts back — ADVICE r4: a schema
+    that flips with edge count breaks callers joining on the node
+    column only once the data crosses the threshold)."""
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
+    node_type = e.schema["u"].dataType
     if driver_max_edges is not None and e.count() <= driver_max_edges:
         import numpy as np
         import pyarrow as pa
@@ -156,7 +159,9 @@ def connected_components(edges: DataFrame, src: str = "src",
         out = pa.table({"node": pa.array(nodes, type=pa.int64()),
                         "component": pa.array(nodes[roots],
                                               type=pa.int64())})
-        return e.sparkSession.createDataFrame(out)
+        return e.sparkSession.createDataFrame(out).select(
+            F.col("node").cast(node_type),
+            F.col("component").cast(node_type))
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
@@ -191,6 +196,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     sum to ~1 over the nodes of the edge set. Deterministic up to IEEE
     summation order (consumers should round before hashing results).
     """
+    if iters < 1:
+        raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if undirected:
         sym = _sym(sym)
@@ -334,6 +341,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     norm is a single scalar agg the driver broadcasts back as a
     literal-free crossJoin of a 1-row frame. Duplicate edges and
     self-loops are dropped; lineage truncates every iteration."""
+    if iters < 1:
+        # iters=0 would reach the final hub/auth join with auth still
+        # unbound (VERDICT r4 nit) — reject the degenerate call instead
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -397,19 +408,20 @@ def label_propagation(edges: DataFrame, src: str = "src",
     node-partitioned label vector) and two partial-aggregating hash
     aggs — (node, label) counts collapse map-side exactly where a hub's
     repeated modal label is hottest, then one agg on node picks the
-    winner via a single min_by on a zero-padded composite key (inverted
-    count '|' label), the same key an oracle builds with printf. No
-    windows, labels cross one shuffle per round."""
+    winner as min(struct(-cnt, label)).label — a struct key orders
+    SIGNED integers correctly (ADVICE r4: the former zero-padded lpad
+    string key misordered negative labels with equal digit counts), and
+    the same construction exists verbatim in DuckDB as
+    min(struct_pack(...)). No windows, labels cross one shuffle per
+    round."""
+    if iters < 1:
+        raise ValueError(
+            f"label_propagation: iters must be >= 1, got {iters}")
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = _sym(e).localCheckpoint()
     lbl = sym.select(F.col("u").alias("node"),
                      F.col("u").alias("label")).distinct()
-    key = F.concat(
-        F.lpad((F.lit(1_000_000_000_000) - F.col("cnt")).cast("string"),
-               13, "0"),
-        F.lit("|"),
-        F.lpad(F.col("label").cast("string"), 20, "0"),
-    )
+    key = F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
     for _ in range(iters):
         cnts = (
             sym.join(lbl.withColumnRenamed("node", "v"), "v")
@@ -418,7 +430,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
         )
         lbl = (
             cnts.groupBy("node")
-            .agg(F.min_by("label", key).alias("label"))
+            .agg(F.min(key).getField("l").alias("label"))
             .localCheckpoint()
         )
     return lbl

@@ -58,6 +58,15 @@ class WarcReader(DataSourceReader):
         self.index = options.get("index")
         if not self.index:
             raise ValueError("lectura_warc requires .option('index', path)")
+        # Relocatable-basename resolution assumes the writer's layout:
+        # packfiles at <root>/seg-*.warc.gz with the index parquet ONE
+        # level below at <root>/index/part-*.parquet (root is derived as
+        # dirname(dirname(index_part))). For an index copied elsewhere —
+        # or any non-standard layout — .option('root', dir) overrides the
+        # derivation and basenames resolve against that directory
+        # (ADVICE r4: a silently wrong derived root makes every read fail
+        # with missing packfiles).
+        self.root = options.get("root")
         self._pushed: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -103,8 +112,12 @@ class WarcReader(DataSourceReader):
             # (the relocatable layout the writer emits) resolves against
             # the table root derived from THIS index part's location, so
             # a moved corpus keeps reading. Absolute / path-bearing
-            # values (pre-relocatable corpora) pass through verbatim.
-            root = os.path.dirname(os.path.dirname(os.path.abspath(p)))
+            # values (pre-relocatable corpora) pass through verbatim;
+            # .option('root', ...) overrides the derivation (see
+            # __init__) when the index lives outside the standard
+            # <root>/index/ layout.
+            root = self.root or os.path.dirname(
+                os.path.dirname(os.path.abspath(p)))
             t = pq.read_table(p, columns=["url", "warc_ts", "lang",
                                           "warc_file", "warc_offset",
                                           "warc_len"])

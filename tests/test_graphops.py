@@ -323,3 +323,47 @@ def test_resolve_chains_edges(spark):
     out = resolve_chains(empty)
     assert out.count() == 0
     assert out.columns == ["src", "final", "hops", "resolved"]
+
+
+def test_label_propagation_negative_ids(spark):
+    """ADVICE r4: the former zero-padded string tie-break misordered
+    negative labels with equal digit counts (a count tie between -9 and
+    -5 picked -5). The struct key must order signed ids correctly."""
+    from lectura.graphops import label_propagation
+
+    # node 0 has two neighbors, -9 and -5, each contributing its own
+    # label once in round 1 → count tie, winner must be min(-9, -5) = -9
+    edges = [(-9, 0), (-5, 0), (-9, -20), (-5, -30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=1).collect()}
+    assert got[0] == -9
+    assert got == _py_lpa(edges, iters=1)
+    # full default-iteration run also matches the pure oracle
+    got4 = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert got4 == _py_lpa(edges)
+
+
+def test_components_schema_stable_across_paths(spark):
+    """ADVICE r4: driver union-find path must return the INPUT node-id
+    type, not always BIGINT — the output schema may not flip with edge
+    count when driver_max_edges is set."""
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    drv = connected_components(df, driver_max_edges=10**6)
+    dist = connected_components(df)
+    assert [f.dataType for f in drv.schema.fields] == \
+        [f.dataType for f in dist.schema.fields]
+    assert {r["node"]: r["component"] for r in drv.collect()} == \
+        {r["node"]: r["component"] for r in dist.collect()}
+
+
+def test_iterative_ops_reject_zero_iters(spark):
+    """VERDICT r4 nit: hits with iters=0 would crash at the final join
+    (auth unbound); all fixed-iteration loops validate iters >= 1."""
+    from lectura.graphops import hits, label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for fn in (hits, pagerank, label_propagation):
+        with pytest.raises(ValueError, match="iters"):
+            fn(df, iters=0)

@@ -218,3 +218,42 @@ def test_warc_writer_append_and_overwrite_modes(spark, tmp_path):
     # overwritten packfiles are gone from disk, not just unreachable
     segs = [f for f in os.listdir(out) if f.startswith("seg-")]
     assert len(segs) == 2
+
+
+def test_warc_root_option_overrides_derived_location(spark, tmp_path):
+    """ADVICE r4: an index parquet copied OUTSIDE the standard
+    <root>/index/ layout derives the wrong packfile root and every read
+    fails; .option('root', dir) must override the derivation."""
+    import datetime as dt
+    import os
+    import shutil
+
+    spark.dataSource.register(WarcDataSource)
+    rows = [(f"http://h.example/r{i}",
+             dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), "en",
+             f"<html>rooted {i}</html>".encode()) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, html binary"
+    ).repartition(1)
+    out = str(tmp_path / "corpus")
+    df.write.format("lectura_warc").option("path", out).mode(
+        "append").save()
+
+    # copy the index part to a flat side location (not <root>/index/)
+    side = tmp_path / "sidecopy"
+    side.mkdir()
+    for f in os.listdir(f"{out}/index"):
+        shutil.copy(f"{out}/index/{f}", side / f)
+
+    # without the override the derived root is wrong → read fails
+    import pytest as _pytest
+
+    broken = spark.read.format("lectura_warc").option(
+        "index", str(side)).load()
+    with _pytest.raises(Exception):
+        broken.collect()
+
+    back = spark.read.format("lectura_warc").option(
+        "index", str(side)).option("root", out).load()
+    got = {r.url: r.html.decode() for r in back.collect()}
+    assert got == {u: h.decode() for u, _, _, h in rows}
