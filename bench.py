@@ -387,7 +387,61 @@ def main() -> None:
         "gen_sec": gen_sec,
         "total_bench_sec": round(time.time() - t_all, 1),
     }
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _emit(result: dict, budget: int = 1800) -> None:
+    """Print the bench result as ONE stdout JSON line the driver can
+    parse. The driver records only a 2000-char stdout TAIL and parses
+    the last JSON line inside it (BENCH_r03/r04 had "parsed": null
+    because the full per-query map outgrew the window — VERDICT r4
+    nit), so the final line must be complete within that budget: the
+    FULL result is persisted to BENCH/full_bench_latest.json (and
+    echoed to stderr for logs), and the stdout line keeps every scalar
+    headline field but trims the queries map to the slowest entries
+    and the scaling block to its verdict fields until it fits."""
+    full = json.dumps(result)
+    full_path = os.path.join(REPO, "BENCH", "full_bench_latest.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        full_path = None
+    sys.stderr.write("BENCH_FULL " + full + "\n")
+    if len(full) <= budget:
+        print(full)
+        return
+    compact = dict(result)
+    sc = dict(result.get("scaling") or {})
+    sat = sc.get("saturated_pair") or {}
+    compact["scaling"] = {
+        k: sc.get(k)
+        for k in ("small_master", "big_master", "t_small_sec", "t_big_sec",
+                  "efficiency", "scale_rounds")
+    }
+    compact["scaling"]["saturated_efficiency"] = sat.get("efficiency")
+    if full_path:
+        compact["full_result_file"] = os.path.relpath(full_path, REPO)
+    q = dict(result.get("queries") or {})
+    by_cost = sorted(q, key=lambda k: -float(q[k] or 0))
+    keep = len(by_cost)
+    while keep >= 0:
+        qs = {k: q[k] for k in by_cost[:keep]}
+        if keep < len(by_cost):
+            qs["_omitted_faster_queries"] = len(by_cost) - keep
+        compact["queries"] = qs
+        line = json.dumps(compact)
+        if len(line) <= budget:
+            print(line)
+            return
+        keep -= 5
+    # unreachable in practice; last resort keeps the contract of one line
+    print(json.dumps({"metric": result.get("metric"),
+                      "value": result.get("value"),
+                      "unit": result.get("unit"),
+                      "sf": result.get("sf"),
+                      "queries": {}}))
 
 
 if __name__ == "__main__":
