@@ -44,6 +44,104 @@ from lectura.textops import simhash_band_pairs, simhash_chunks
 EXPORT_COLS = ("url", "text", "n_tokens", "quality", "lang_guess",
                "fingerprint", "simhash")
 
+# content-affecting knobs pinned by the incremental path: an
+# incremental run with different gates/dedup params than the full
+# export it extends would silently produce a corpus no full run could
+GATE_PARAMS = ("min_tokens", "min_quality", "langs", "max_hamming",
+               "band_max_df")
+
+
+def _gate(docs: DataFrame, min_tokens: int, min_quality: float,
+          langs: tuple[str, ...] | None) -> DataFrame:
+    """Quality/language gates — scan-stage filters shared verbatim by
+    the full and incremental paths (equivalence requires bit-identical
+    gating)."""
+    gated = docs.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    if langs is not None:
+        gated = gated.filter(F.col("lang_guess").isin(list(langs)))
+    return gated
+
+
+def _dedup_keep(slim: DataFrame, *, max_hamming: int,
+                band_max_df: int | None,
+                mark=lambda label: None):
+    """Exact + near-dup winner selection over the SLIM (url,
+    fingerprint, simhash) projection — the shared dedup core of the
+    full and incremental export paths (both must label identically or
+    incremental-after-append would diverge from a full re-export).
+
+    Returns (keep, n_hot, cleanup): `keep` = (url, n_exact_copies,
+    cluster_size), one row per surviving document; `n_hot` = banding
+    buckets dropped by the df cap; `cleanup` = persisted frames the
+    caller unpersists AFTER materializing anything derived from
+    `keep`. Plan shape documented in export_corpus."""
+    winners = (
+        slim.groupBy("fingerprint")
+        .agg(
+            F.min("url").alias("url"),
+            # exact copies share the text, hence the simhash — min() is
+            # just a deterministic pick and keeps the agg all-primitive
+            # (HashAggregate, not the min_by struct-buffer SortAggregate)
+            F.min("simhash").alias("simhash"),
+            F.count("*").alias("n_exact_copies"),
+        )
+        .withColumn("_nid", F.xxhash64("url"))
+        .persist()
+    )
+
+    sig = winners.select(F.col("_nid").alias("id"),
+                         F.col("simhash").alias("sh"))
+    # hot-bucket table computed ONCE (persisted — it is both the reported
+    # n_hot stat and band_pairs' exclusion list; without the handoff the
+    # chunk stream would aggregate twice)
+    n_hot, hot = 0, None
+    if band_max_df is not None:
+        hot = (
+            simhash_chunks(sig).groupBy("chunk", "val").count()
+            .filter(F.col("count") > band_max_df).select("chunk", "val")
+            .persist()
+        )
+        n_hot = hot.count()
+    mark("winners_hotcount")
+    # dedupe=False: connected_components' canonical-edge distinct absorbs
+    # multi-chunk agreements, so the pair stream skips its own
+    # dropDuplicates shuffle. driver_max_edges: near-dup graphs are a
+    # sliver of the corpus — under 2M edges union-find on the driver
+    # replaces ~10 star-iteration jobs; past it (the 10^10-doc design
+    # point) the distributed path runs unchanged.
+    pairs = simhash_band_pairs(sig, max_hamming=max_hamming,
+                               max_df=band_max_df, hot_buckets=hot,
+                               dedupe=False)
+    comp = connected_components(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+        driver_max_edges=2_000_000,
+    ).localCheckpoint()
+    if hot is not None:
+        hot.unpersist()
+    mark("pairs_cc")
+    labeled = (
+        winners.join(F.broadcast(comp) if _small(comp) else comp,
+                     winners["_nid"] == comp["node"], "left")
+        .withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
+        .drop("node", "component")
+    )
+    # Cluster-winner pick: same groupBy-not-window shape as the exact
+    # dedup above — a giant near-dup cluster partial-aggregates instead
+    # of sorting whole inside one task.
+    keep = (
+        labeled.groupBy("_comp")
+        .agg(
+            F.min("url").alias("url"),
+            F.min_by("n_exact_copies", "url").alias("n_exact_copies"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select("url", "n_exact_copies", "cluster_size")
+    )
+    return keep, n_hot, [winners]
+
 
 def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                   min_quality: float = 0.0,
@@ -109,83 +207,21 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                   file=_sys.stderr, flush=True)
             _t0 = now
 
+    text_snapshot = wh.snapshot("text")
     docs = wh.read("text").select(*EXPORT_COLS)
-    gated = docs.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("quality") >= min_quality)
-    )
-    if langs is not None:
-        gated = gated.filter(F.col("lang_guess").isin(list(langs)))
+    gated = _gate(docs, min_tokens, min_quality, langs)
 
     # Exact dedup as a partial-aggregating groupBy, NOT a window: a
     # window over partitionBy(fingerprint) must sort every copy of the
     # hottest duplicate (parked-domain boilerplate — exactly what a web
     # corpus over-represents) inside one task, while min/min_by/count
     # collapse duplicates map-side before the exchange.  Same shuffle
-    # key, same output, skew-proof.
+    # key, same output, skew-proof. (Core shared with the incremental
+    # path: _dedup_keep.)
     slim = gated.select("url", "fingerprint", "simhash")
-    winners = (
-        slim.groupBy("fingerprint")
-        .agg(
-            F.min("url").alias("url"),
-            # exact copies share the text, hence the simhash — min() is
-            # just a deterministic pick and keeps the agg all-primitive
-            # (HashAggregate, not the min_by struct-buffer SortAggregate)
-            F.min("simhash").alias("simhash"),
-            F.count("*").alias("n_exact_copies"),
-        )
-        .withColumn("_nid", F.xxhash64("url"))
-        .persist()
-    )
-
-    sig = winners.select(F.col("_nid").alias("id"),
-                         F.col("simhash").alias("sh"))
-    # hot-bucket table computed ONCE (persisted — it is both the reported
-    # n_hot stat and band_pairs' exclusion list; without the handoff the
-    # chunk stream would aggregate twice)
-    n_hot, hot = 0, None
-    if band_max_df is not None:
-        hot = (
-            simhash_chunks(sig).groupBy("chunk", "val").count()
-            .filter(F.col("count") > band_max_df).select("chunk", "val")
-            .persist()
-        )
-        n_hot = hot.count()
-    _mark("winners_hotcount")
-    # dedupe=False: connected_components' canonical-edge distinct absorbs
-    # multi-chunk agreements, so the pair stream skips its own
-    # dropDuplicates shuffle. driver_max_edges: near-dup graphs are a
-    # sliver of the corpus — under 2M edges union-find on the driver
-    # replaces ~10 star-iteration jobs; past it (the 10^10-doc design
-    # point) the distributed path runs unchanged.
-    pairs = simhash_band_pairs(sig, max_hamming=max_hamming,
-                               max_df=band_max_df, hot_buckets=hot,
-                               dedupe=False)
-    comp = connected_components(
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")),
-        driver_max_edges=2_000_000,
-    ).localCheckpoint()
-    if hot is not None:
-        hot.unpersist()
-    _mark("pairs_cc")
-    labeled = (
-        winners.join(F.broadcast(comp) if _small(comp) else comp,
-                     winners["_nid"] == comp["node"], "left")
-        .withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
-        .drop("node", "component")
-    )
-    # Cluster-winner pick: same groupBy-not-window shape as the exact
-    # dedup above — a giant near-dup cluster partial-aggregates instead
-    # of sorting whole inside one task.
-    keep = (
-        labeled.groupBy("_comp")
-        .agg(
-            F.min("url").alias("url"),
-            F.min_by("n_exact_copies", "url").alias("n_exact_copies"),
-            F.count("*").alias("cluster_size"),
-        )
-        .select("url", "n_exact_copies", "cluster_size")
-    )
+    keep, n_hot, dedup_cleanup = _dedup_keep(
+        slim, max_hamming=max_hamming, band_max_df=band_max_df,
+        mark=_mark)
     _mark("comp_join_gate")
     out = gated.join(keep, "url").select(
         *EXPORT_COLS, "n_exact_copies", "cluster_size"
@@ -257,11 +293,30 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     else:
         snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
     _mark("winner_join_write")
-    winners.unpersist()
-    for df_ in cleanup:
+    for df_ in dedup_cleanup + cleanup:
         df_.unpersist()
     n_docs = wh.count_rows(wh._files(out_table))
     _mark("post_stats")
+    # Incremental-export handoff (S17 composition): persist the slim
+    # gated projection (the dedup input — 40 B/doc, column-pruned scan,
+    # no text bytes) plus a one-row meta record pinning the consumed
+    # text snapshot and the content-affecting params. A later
+    # `export_corpus_incremental` extends this state instead of
+    # re-reading the corpus. Write order out → state → meta: replaying
+    # an incremental from a stale meta pointer is idempotent (state
+    # subtraction∪re-add of already-incorporated urls is a no-op), so a
+    # crash between the three commits never corrupts, only re-does work.
+    incremental_ok = (bench is None and sample_rates is None
+                      and chunk is None and not shard_tokens)
+    wh.overwrite(_state_table(out_table),
+                 gated.select("url", "fingerprint", "simhash")
+                 .repartition(max(1, n_parts // 4), "url"))
+    _write_meta(wh, out_table, text_snapshot=text_snapshot,
+                incremental_ok=incremental_ok,
+                min_tokens=min_tokens, min_quality=min_quality,
+                langs=langs, max_hamming=max_hamming,
+                band_max_df=band_max_df)
+    _mark("state_meta")
     stats = {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
              "n_hot_buckets_dropped": n_hot}
     if bench is not None:
@@ -292,6 +347,198 @@ def _small(df: DataFrame, bound: int = 5_000_000) -> bool:
     (plan stats can't see through the iterative CC, hence the explicit
     count over the checkpointed component table)."""
     return df.count() <= bound
+
+
+def _state_table(out_table: str) -> str:
+    return f"{out_table}_state"
+
+
+def _meta_table(out_table: str) -> str:
+    return f"{out_table}_export_meta"
+
+
+def _write_meta(wh: Warehouse, out_table: str, *, text_snapshot: int,
+                incremental_ok: bool, **params) -> None:
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("text_snapshot", T.LongType()),
+        T.StructField("incremental_ok", T.BooleanType()),
+        T.StructField("params", T.StringType()),
+    ])
+    tbl = pa.Table.from_pylist(
+        [{"text_snapshot": int(text_snapshot),
+          "incremental_ok": bool(incremental_ok),
+          "params": _json.dumps(
+              {k: (list(v) if isinstance(v, tuple) else v)
+               for k, v in params.items()}, sort_keys=True)}],
+        schema=pa.schema([("text_snapshot", pa.int64()),
+                          ("incremental_ok", pa.bool_()),
+                          ("params", pa.string())]))
+    name = _meta_table(out_table)
+    # overwrite semantics via a fresh single-file snapshot
+    staging_files = []
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    staging = _os.path.join(wh._tdir(name), "data", _uuid.uuid4().hex)
+    _os.makedirs(staging, exist_ok=True)
+    path = _os.path.join(staging, "part-0.parquet")
+    pq.write_table(tbl, path)
+    staging_files.append(path)
+    wh._commit(name, staging_files, schema.json())
+
+
+def _read_meta(wh: Warehouse, out_table: str) -> dict:
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    name = _meta_table(out_table)
+    if not wh.exists(name):
+        raise FileNotFoundError(
+            f"no export meta for table {out_table!r} — run a full "
+            "export_corpus first (incremental extends a full run)")
+    rows = pq.read_table(wh._files(name)[0]).to_pylist()
+    m = rows[0]
+    m["params"] = _json.loads(m["params"])
+    return m
+
+
+def export_corpus_incremental(wh: Warehouse, *,
+                              from_snapshot: int | None = None,
+                              min_tokens: int = 20,
+                              min_quality: float = 0.0,
+                              langs: tuple[str, ...] | None = ("en",),
+                              max_hamming: int = 3,
+                              band_max_df: int | None = 256,
+                              out_table: str = "train_docs",
+                              n_parts: int = 32) -> dict:
+    """Changelog-driven incremental corpus refresh (S17 composition —
+    VERDICT r4 top-next): re-gate and re-dedup only the text rows that
+    CHANGED since the last export, merge with the previous result, and
+    commit a table provably identical to a full ``export_corpus`` at
+    the current text snapshot.
+
+    How equivalence holds: the previous export persisted the slim gated
+    projection of every doc (not just winners). The new state is
+    ``old_state ∖ changed_urls ∪ gate(inserted/updated rows)`` — exactly
+    the gated slim of text@HEAD — and the winner/cluster labeling
+    (_dedup_keep) re-runs over that slim union, so exact-dup counts,
+    near-dup components (including hot-bucket caps, which are global
+    df counts and thus NOT incrementally composable) and min-url winner
+    picks all match the full run bit-for-bit. Only the slim 40 B/doc
+    state is reprocessed corpus-wide; text bytes are touched only for
+    changed docs (read from the changelog — the zero-shuffle append
+    fast path when the crawl only appended), for unchanged winners
+    (copied from the previous output table), and for the rare
+    "promoted loser" (an old non-winner whose cluster's winner was
+    deleted/updated away — impossible under append-only commits, where
+    min(url) over a superset never moves to an unseen old url; fetched
+    by a keyed semi-join against the text table when it does happen).
+
+    Restrictions: the previous export must have run the core path
+    (no decontaminate/sample/chunk/shard — meta records this) with the
+    SAME gate/dedup params; mismatches raise instead of silently
+    diverging. ``from_snapshot`` defaults to the snapshot the meta
+    recorded; passing it explicitly replays from an older point, which
+    is idempotent.
+
+    Cluster seam: with an Iceberg backend the final commit would be a
+    MERGE (upsert changed winners, delete displaced ones) pruned to
+    touched files; the parquet-manifest backend's copy-on-write
+    overwrite is the local analogue (same contract as Warehouse.merge).
+    """
+    meta = _read_meta(wh, out_table)
+    if not meta["incremental_ok"]:
+        raise ValueError(
+            f"export meta for {out_table!r} records a full run with "
+            "selection stages (decontaminate/sample/chunk/shard) — "
+            "those are not incrementally composable; run a full "
+            "export_corpus")
+    want = {"min_tokens": min_tokens, "min_quality": min_quality,
+            "langs": list(langs) if langs is not None else None,
+            "max_hamming": max_hamming, "band_max_df": band_max_df}
+    if meta["params"] != want:
+        raise ValueError(
+            f"incremental params {want} differ from the full export's "
+            f"{meta['params']} — changed gates require a full re-export")
+    if from_snapshot is None:
+        from_snapshot = meta["text_snapshot"]
+    to_snapshot = wh.snapshot("text")
+    stats_base = {"table": out_table, "mode": "incremental",
+                  "from_snapshot": int(from_snapshot),
+                  "to_snapshot": int(to_snapshot)}
+    if from_snapshot == to_snapshot:
+        return {**stats_base, "n_changed": 0, "unchanged": True,
+                "n_docs": int(wh.count_rows(wh._files(out_table)))}
+
+    ch = wh.changelog("text", "url", from_snapshot=from_snapshot,
+                      to_snapshot=to_snapshot).persist()
+    n_changed = ch.count()
+    changed_urls = ch.select("url").distinct()
+    new_rows = (
+        ch.filter(F.col("_change_type").isin("insert", "update_after"))
+        .select(*EXPORT_COLS)
+    )
+    gated_new = _gate(new_rows, min_tokens, min_quality, langs).persist()
+
+    old_state = wh.read(_state_table(out_table))
+    state_new = (
+        old_state.join(changed_urls, "url", "left_anti")
+        .unionByName(gated_new.select("url", "fingerprint", "simhash"))
+    )
+    # One derivation of the slim union feeds both the dedup and the
+    # state rewrite: pin it (the dedup core persists its own winners).
+    state_new = state_new.localCheckpoint()
+
+    keep, n_hot, dedup_cleanup = _dedup_keep(
+        state_new, max_hamming=max_hamming, band_max_df=band_max_df)
+
+    # text sources for the winner join — three DISJOINT provenances:
+    # changed docs from the changelog, unchanged docs from the previous
+    # output, promoted losers (delete/update-only case) fetched keyed.
+    old_out = wh.read(out_table).select(*EXPORT_COLS)
+    src_old = old_out.join(changed_urls, "url", "left_anti")
+    missing = (
+        keep.select("url")
+        .join(gated_new.select("url"), "url", "left_anti")
+        .join(src_old.select("url"), "url", "left_anti")
+        .persist()
+    )
+    n_missing = missing.count()
+    sources = [gated_new.select(*EXPORT_COLS), src_old]
+    if n_missing:
+        fetched = (
+            wh.read("text", to_snapshot).select(*EXPORT_COLS)
+            .join(F.broadcast(missing) if n_missing <= 1_000_000
+                  else missing, "url", "left_semi")
+        )
+        sources.append(fetched)
+    text_src = sources[0]
+    for s in sources[1:]:
+        text_src = text_src.unionByName(s)
+    out = text_src.join(keep, "url").select(
+        *EXPORT_COLS, "n_exact_copies", "cluster_size")
+    snap = wh.overwrite(out_table, out.repartition(n_parts, "url"))
+    wh.overwrite(_state_table(out_table),
+                 state_new.repartition(max(1, n_parts // 4), "url"))
+    _write_meta(wh, out_table, text_snapshot=to_snapshot,
+                incremental_ok=True, min_tokens=min_tokens,
+                min_quality=min_quality, langs=langs,
+                max_hamming=max_hamming, band_max_df=band_max_df)
+    for df_ in dedup_cleanup + [ch, gated_new, missing]:
+        df_.unpersist()
+    n_docs = wh.count_rows(wh._files(out_table))
+    return {**stats_base, "snapshot": snap, "n_docs": int(n_docs),
+            "n_changed": int(n_changed),
+            "n_promoted_fetched": int(n_missing),
+            "n_hot_buckets_dropped": n_hot}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -337,12 +584,42 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--chunk", default=None, type=_chunk_arg,
                     help="re-cut surviving docs into training windows "
                          "'WINDOW:STRIDE' (e.g. 512:384) before packing")
+    ap.add_argument("--incremental", action="store_true",
+                    help="changelog-driven refresh: re-gate/re-dedup only "
+                         "text rows changed since the last export of this "
+                         "table and merge with its result (provably equal "
+                         "to a full re-export; requires a prior full run "
+                         "with the same gates and no selection stages)")
+    ap.add_argument("--from-snapshot", type=int, default=None,
+                    help="with --incremental: explicit text-table snapshot "
+                         "to diff from (default: the snapshot the last "
+                         "export recorded)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+
+    if args.incremental:
+        bad = [flag for flag, v in (
+            ("--decontaminate", args.decontaminate),
+            ("--sample", args.sample),
+            ("--shard-tokens", args.shard_tokens),
+            ("--chunk", args.chunk)) if v]
+        if bad:
+            ap.error(f"--incremental does not compose with {bad} "
+                     "(selection stages need a full export)")
 
     spark = get_spark(master=args.master, app_name="lectura-export")
     wh = Warehouse(args.warehouse, spark)
     langs = None if args.langs == "any" else tuple(args.langs.split(","))
+    if args.incremental:
+        stats = export_corpus_incremental(
+            wh, from_snapshot=args.from_snapshot,
+            min_tokens=args.min_tokens, min_quality=args.min_quality,
+            langs=langs, max_hamming=args.max_hamming,
+            band_max_df=args.band_max_df or None,
+            out_table=args.out_table,
+        )
+        print(json.dumps(stats))
+        return 0
     bench = None
     if args.decontaminate:
         bench = (wh.read(args.decontaminate)
