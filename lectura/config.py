@@ -41,6 +41,15 @@ class CrawlConfig:
     # pages.html stored WARC-style gzipped (bench/cluster corpora); bodies
     # are inflated inside the extraction workers (lectura/extract.py)
     html_gzip: bool = False
+    # Sitemap discovery as a frontier source (S11 wired into the crawl —
+    # SEMANTICS.md §15): robots `Sitemap:` directives are resolved at
+    # init, the sitemap XML pages fetched from the corpus (as-of
+    # round_ts(0)), parsed (one level of index recursion per the
+    # protocol), and their url entries join the round-1 frontier as
+    # depth-0 seed-like rows scored base[0] + w2 * priority. Off by
+    # default: the robots table is static across rounds, so discovery is
+    # a one-time init pass, not a per-round source.
+    use_sitemaps: bool = False
     # Per-round sink fan-in (VERDICT r3 #1): target rows per output file
     # for the round's sink appends (scheduled / fetch_log / seen /
     # host_state). The write funnels through ceil(n_rows /

@@ -285,24 +285,110 @@ class Crawler:
         rules = build_rule_table(self.wh.read("robots"), cfg.agent)
         self.wh.overwrite("rules", rules)
 
-        base0 = cfg.depth_base()[0]
-        frontier0 = (
-            with_url_norm(seeds.select(F.col("url"), F.col("score").alias("_s")))
-            .withColumn("depth", F.lit(0))
-            .withColumn(
-                "score", F.lit(base0) + F.lit(cfg.w2) * F.col("_s").cast("double")
-            )
-            .withColumn("discovered_ts", F.lit(cfg.round_ts(0)))
-            .withColumn("src_url", F.lit(None).cast("string"))
-            .withColumn("for_round", F.lit(1))
-            .drop("_s")
-        )
+        frontier0 = self._seedlike_frontier(
+            seeds.select(F.col("url"), F.col("score").alias("_s")))
+        if cfg.use_sitemaps:
+            sm = self._sitemap_frontier()
+            if sm is not None:
+                frontier0 = frontier0.unionByName(sm)
         self.wh.overwrite("frontier", dedupe_frontier(frontier0))
         empty_seen = self.spark.createDataFrame([], "url string, round int")
         self.wh.overwrite("seen", empty_seen)
         empty_state = self.spark.createDataFrame([], "host string, last_round int")
         self.wh.overwrite("host_state", empty_state)
         self.log.commit(0, self._snapshots(), {"round": 0})
+
+    def _seedlike_frontier(self, raw: DataFrame) -> DataFrame:
+        """Canonicalize (url, _s) rows into round-1 frontier rows with
+        seed semantics: depth 0, score = base[0] + w2 * _s, no source
+        url. Shared by the seed list and the sitemap-discovered URLs so
+        both enter scheduling identically (SEMANTICS.md §3, §15)."""
+        base0 = self.cfg.depth_base()[0]
+        return (
+            with_url_norm(raw)
+            .withColumn("depth", F.lit(0))
+            .withColumn(
+                "score",
+                F.lit(base0) + F.lit(self.cfg.w2) * F.col("_s").cast("double"),
+            )
+            .withColumn("discovered_ts", F.lit(self.cfg.round_ts(0)))
+            .withColumn("src_url", F.lit(None).cast("string"))
+            .withColumn("for_round", F.lit(1))
+            .drop("_s")
+        )
+
+    def _sitemap_frontier(self) -> DataFrame | None:
+        """S11 wired into the crawl (VERDICT r4 #2): robots `Sitemap:`
+        directives → canonicalize (U1) → as-of fetch of the sitemap XML
+        from the pages corpus at round_ts(0) → JVM regex parse
+        (sources.parse_sitemaps), one level of `<sitemapindex>`
+        recursion per the protocol → (loc, max priority) seed rows.
+        Returns round-1 frontier rows (seed semantics: depth 0, score
+        base[0] + w2·priority) or None when no directive resolves.
+
+        The discovered rows then flow the NORMAL path — dedupe_frontier
+        merge with the seeds, seen-filter (D3/D5), robots verdicts,
+        politeness, ranking — so a sitemap URL is never exempt from any
+        gate. Sitemap fetches themselves touch no crawl state (not
+        `seen`, no fetch_log rows): sitemaps are a discovery source,
+        not crawl targets; a sitemap URL that is ALSO a page link gets
+        crawled like any page.
+
+        Scale shape: the robots table is broadcast-scale by
+        construction (one row per host with rules); directives and
+        level-1 XML rows are a sliver of that; each fetch is one
+        broadcast semi-join against the pages scan (host_bucket-prunable
+        like the round fetch) + a per-url latest-capture window over
+        ONLY matched sitemap captures. Runs once at init — robots (and
+        thus directives) are static across rounds.
+
+        Inline-html corpora only: a WARC-pointer corpus would fetch
+        sitemap bytes via the ranged-read path — documented seam, not
+        wired (bench/cluster corpora run with use_sitemaps off)."""
+        from lectura.sources import parse_sitemaps, seeds_from_sitemaps, \
+            sitemaps_from_robots
+        from lectura.urlnorm import canonicalize_udf
+
+        pages = self.wh.read("pages")
+        if "html" not in pages.columns:
+            raise ValueError(
+                "use_sitemaps requires an inline-html pages corpus "
+                "(WARC-pointer corpora: fetch sitemap bytes upstream)")
+        cutoff = self.cfg.round_ts(0)
+        cand = pages.select("url", "warc_ts", "html").filter(
+            F.col("warc_ts") <= F.lit(cutoff))
+
+        def fetch_xml(urls_df: DataFrame) -> DataFrame:
+            w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+            return (
+                cand.join(F.broadcast(urls_df), "url")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "url",
+                    F.expr("parse_url(url, 'HOST')").alias("host"),
+                    F.col("html").cast("string").alias("xml"),
+                )
+            )
+
+        sm = (
+            sitemaps_from_robots(self.wh.read("robots"))
+            .select(canonicalize_udf("sitemap_url").alias("url"))
+            .filter(F.col("url").isNotNull()).distinct()
+        )
+        parsed1 = parse_sitemaps(fetch_xml(sm), xml_col="xml")
+        subs = (
+            parsed1.filter(F.col("kind") == "sitemap")
+            .select(canonicalize_udf("loc").alias("url"))
+            .filter(F.col("url").isNotNull()).distinct()
+        )
+        parsed2 = parse_sitemaps(fetch_xml(subs), xml_col="xml")
+        entries = parsed1.unionByName(parsed2)
+        sm_seeds = seeds_from_sitemaps(entries)  # (url=raw loc, score)
+        if sm_seeds.isEmpty():
+            return None
+        return self._seedlike_frontier(
+            sm_seeds.select("url", F.col("score").alias("_s")))
 
     def _buckets_ok(self, sample: int = 2000) -> bool:
         """Verify (on a bounded sample) that the adopted corpus's recorded

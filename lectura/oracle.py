@@ -105,6 +105,53 @@ def run_oracle(corpus: dict, cfg: CrawlConfig, rounds: int) -> OracleResult:
                     "src_url": None,
                 }
             )
+    # --- sitemap discovery (SEMANTICS.md §15, cfg.use_sitemaps) ---------
+    if cfg.use_sitemaps:
+        from lectura.pure.sitemap import (parse_sitemap,
+                                          sitemaps_from_robots_body)
+
+        t0 = cfg.round_ts(0)
+
+        def sitemap_xml(loc: str) -> str | None:
+            u = canonicalize_url(loc)
+            if u is None:
+                return None
+            caps = [c for c in pages_by_url.get(u, []) if c[0] <= t0]
+            if not caps:
+                return None
+            return caps[-1][1].decode("utf-8", errors="replace")
+
+        entries: list[tuple[str, float]] = []
+        subs: list[str] = []
+        for r in corpus["robots"]:
+            for loc in sitemaps_from_robots_body(r["body"]):
+                xml = sitemap_xml(loc)
+                if xml is not None:
+                    us, ss = parse_sitemap(xml)
+                    entries.extend(us)
+                    subs.extend(ss)
+        for loc in subs:  # one level of index recursion (the protocol)
+            xml = sitemap_xml(loc)
+            if xml is not None:
+                us, _ = parse_sitemap(xml)
+                entries.extend(us)
+        best: dict[str, float] = {}
+        for loc, pr in entries:  # max priority per RAW loc (Spark agg)
+            best[loc] = max(best.get(loc, float("-inf")), pr)
+        for loc in sorted(best):
+            u = canonicalize_url(loc)
+            if u is not None:
+                frontier.append(
+                    {
+                        "url": u,
+                        "host": registered_host(u),
+                        "depth": 0,
+                        "score": base[0] + cfg.w2 * best[loc],
+                        "discovered_ts": cfg.round_ts(0),
+                        "src_url": None,
+                    }
+                )
+
     frontier = dedupe_frontier(frontier)
 
     # --- rounds ----------------------------------------------------------
