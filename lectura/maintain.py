@@ -124,6 +124,106 @@ def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
     return actions
 
 
+def audit_politeness(wh: Warehouse, *, round_seconds: float = 60.0,
+                     default_delay: float = 5.0, sub: int = 64):
+    """Politeness audit (D9b composition over the real fetch_log —
+    VERDICT r4 #5): per host, the distribution of implied inter-fetch
+    gaps vs the crawl-delay that host's robots declared, flagging hosts
+    whose observed minimum gap PROVABLY undercuts their declared delay.
+
+    Gap model (the round loop has no per-fetch wall timestamps — budget
+    is the contract): a round in which a host got n fetch attempts
+    implies n−1 gaps of round_seconds/n (the tightest spacing the
+    budget permits — a compliant scheduler guarantees round_seconds/n ≥
+    delay because n ≤ budget = ⌊round_seconds/delay⌋); consecutive
+    FETCHED rounds r1 < r2 imply one cross-round gap of
+    (r2−r1)·round_seconds (the multi-round-delay regime, budget rule
+    (rnd−last)·round_seconds ≥ delay). 'miss' rows count — a scheduled
+    fetch consumed budget whether or not the page existed.
+
+    Sketch + soundness margin: gaps stream through the D9b grouped
+    log-linear quantile sketch (textops.log_quantile_sketch,
+    group_col=host — per-host state bounded at 64·sub bins), whose
+    estimate is the LOWER bin edge: est ∈ (true/(1+1/sub), true]. A
+    host is flagged only when est < delay_ms·sub/(sub+1) − 1, which
+    implies true_gap < delay_ms — the detector can miss a violation
+    inside the (1+1/sub) band but never flags a compliant host.
+
+    Scale shape: one partial-aggregating groupBy(host, round) over the
+    slim (host, round) projection of fetch_log, a per-host lag window
+    whose partitions are #rounds long (bounded by crawl length, not
+    corpus size), the bounded-state sketch, and a broadcast join
+    against the per-host delay table. Returns one row per host with
+    ≥1 implied gap: (host, declared_delay_s, defaulted, n_fetches,
+    p1_gap_s, p50_gap_s, p99_gap_s, violating)."""
+    from pyspark.sql import Window
+
+    from lectura.robots import host_delay_table
+    from lectura.textops import log_quantile_sketch
+
+    rs_ms = int(round(round_seconds * 1000))
+    per_round = (
+        wh.read("fetch_log").select("host", "round")
+        .groupBy("host", "round").agg(F.count("*").alias("n"))
+    )
+    within = (
+        per_round.filter(F.col("n") > 1)
+        .select(
+            "host",
+            F.explode(
+                F.array_repeat(
+                    F.expr(f"{rs_ms} div n"),
+                    (F.col("n") - 1).cast("int"))).alias("gap_ms"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("round")
+    across = (
+        per_round
+        .withColumn("_prev", F.lag("round").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "host",
+            ((F.col("round") - F.col("_prev"))
+             * F.lit(rs_ms).cast("long")).alias("gap_ms"),
+        )
+    )
+    gaps = within.unionByName(across)
+    sk = log_quantile_sketch(
+        gaps, "gap_ms",
+        quantiles=((1, 100), (50, 100), (99, 100)),
+        sub=sub, group_col="host")
+    pivot = sk.groupBy("host").agg(
+        F.max("n").alias("n_gaps"),
+        *[F.max(F.when((F.col("q_num") == qn) & (F.col("q_den") == 100),
+                       F.col("est"))).alias(name)
+          for qn, name in ((1, "p1_ms"), (50, "p50_ms"), (99, "p99_ms"))],
+    )
+    delays = host_delay_table(wh.read("rules"))
+    fetches = per_round.groupBy("host").agg(F.sum("n").alias("n_fetches"))
+    d_eff = F.coalesce(
+        F.when(F.col("crawl_delay") > 0, F.col("crawl_delay")),
+        F.lit(float(default_delay)))
+    out = (
+        pivot.join(F.broadcast(delays), "host", "left")
+        .join(fetches, "host")
+        .withColumn("declared_delay_s", d_eff)
+        .withColumn("defaulted", F.col("crawl_delay").isNull()
+                    | ~(F.col("crawl_delay") > 0))
+        .withColumn(
+            "violating",
+            F.col("p1_ms")
+            < (F.col("declared_delay_s") * 1000.0 * sub / (sub + 1) - 1.0))
+    )
+    to_s = lambda c: F.round(F.col(c) / 1000.0, 3)  # noqa: E731
+    return out.select(
+        "host", "declared_delay_s", "defaulted", "n_fetches",
+        to_s("p1_ms").alias("p1_gap_s"),
+        to_s("p50_ms").alias("p50_gap_s"),
+        to_s("p99_ms").alias("p99_gap_s"),
+        "violating",
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
     import json
@@ -139,11 +239,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep only the last N snapshots per table "
                          "(plus the round marker's) and reclaim the "
                          "rest's data files; default keeps all history")
+    ap.add_argument("--audit", action="store_true",
+                    help="politeness audit instead of maintenance: "
+                         "per-host implied inter-fetch-gap p1/p50/p99 "
+                         "(D9b sketch over fetch_log) vs the declared "
+                         "crawl-delay; prints one JSON line per host, "
+                         "violations first")
+    ap.add_argument("--round-seconds", type=float, default=60.0,
+                    help="with --audit: the crawl's round length")
+    ap.add_argument("--default-delay", type=float, default=5.0,
+                    help="with --audit: delay assumed for hosts whose "
+                         "robots declared none")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="lectura-maintain")
     wh = Warehouse(args.warehouse, spark)
+    if args.audit:
+        rows = audit_politeness(
+            wh, round_seconds=args.round_seconds,
+            default_delay=args.default_delay,
+        ).orderBy(F.desc("violating"), "host").collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        n_bad = sum(1 for r in rows if r.violating)
+        print(json.dumps({"_summary": {"hosts_audited": len(rows),
+                                       "violations": n_bad}}))
+        return 1 if n_bad else 0
     actions = maintain(
         wh, target_file_bytes=args.target_file_mb << 20,
         prune_frontier=not args.no_prune_frontier,
