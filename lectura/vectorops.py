@@ -434,6 +434,83 @@ def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 4,
+               pq_centroids: int = 16, n_iters: int = 3,
+               rerank: int = 50, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               train_mod: int = 1) -> DataFrame:
+    """ANN top-k via the composed IVF-PQ (IVFADC) index — the layout
+    every billion-vector deployment actually ships (Jégou et al. 2011
+    §IV: coarse quantizer + product-quantized RESIDUALS + asymmetric
+    distance): IVF k-means cells form the inverted lists; each vector
+    stores only its cell id + the m-byte PQ code of its residual
+    x − centroid(cell); a query probes the `n_probe` nearest cells and
+    ADC-scans ONLY their codes with a per-cell lookup table built on
+    q − centroid(cell). Residual encoding is what separates this from
+    running PQ under an IVF filter: residual magnitudes are a fraction
+    of vector magnitudes, so the same code budget quantizes far finer.
+
+    Determinism: both quantizers reuse the hash-ordered-init /
+    9dp-rounded-means recipe (kmeans_centroids, pq_codebooks), residual
+    arithmetic is per-row JVM zip_with against the literal centroid
+    table, ADC tables are driver-side numpy rounded to 9dp, and every
+    ordering ties on `id_col` — the result is parallelism-invariant,
+    which the recall contract row depends on.
+
+    Scale shape: at 10^10 vectors the persisted index is (cell id,
+    m-byte code) per row, written partitioned by cell so a probe reads
+    n_probe partitions of codes — no full scan, no vectors in the scan
+    (the `rerank` exact pass joins vectors back for `rerank` rows
+    only). Locally: training = the two quantizers' bounded-state
+    passes; encoding = one Arrow-batched numpy pass (the _pq_code_udf
+    discipline); the probe = a cell-id filter (partition-prunable) +
+    pure-JVM ADC expression + TakeOrderedAndProject; the final rerank a
+    `rerank`-row brute force."""
+    centroids = kmeans_centroids(df, n_centroids, n_iters, id_col,
+                                 vec_col, train_mod)
+    indexed = ivf_index(df, centroids, vec_col)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    resid = F.zip_with(
+        F.col(vec_col), F.element_at(cent_lit, F.col("cid") + 1),
+        lambda x, c: (x - c).cast("double"))
+    enc_src = indexed.withColumn("_resid", resid)
+    books = pq_codebooks(enc_src, m, pq_centroids, n_iters, id_col,
+                         "_resid", train_mod)
+    enc = pq_encode(enc_src, books, "_resid").drop("_resid")
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = _unit([float(x) for x in query_vec])
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda ci: (-sum(a * b for a, b in zip(qn, centroids[ci])), ci),
+    )[:n_probe]
+    d_sub = len(books[0][0])
+
+    def adc_score(cid: int):
+        qr = q - np.asarray(centroids[cid], dtype=np.float64)
+        score = None
+        for mi in range(m):
+            row = [round(float(((qr[mi * d_sub:(mi + 1) * d_sub]
+                                 - np.asarray(c)) ** 2).sum()), 9)
+                   for c in books[mi]]
+            tbl = F.array(*[F.lit(v) for v in row])
+            term = F.element_at(tbl, F.element_at("pq_code", mi + 1) + 1)
+            score = term if score is None else score + term
+        return F.round(score, 9)
+
+    parts = [
+        enc.filter(F.col("cid") == cid).withColumn("adc", adc_score(cid))
+        for cid in probe
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.orderBy(F.asc("adc"), F.asc(id_col)).limit(rerank)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def sign_bands(df: DataFrame, n_bands: int = 8, band_bits: int = 8,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

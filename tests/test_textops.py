@@ -1869,3 +1869,47 @@ def test_quantile_sketch_grouped_matches_ungrouped_per_group(spark):
         for k, v in solo.items():
             assert grouped[k] == v
     assert len(grouped) == 9
+
+
+def test_ann_ivfpq_recall_planted_neighbors(spark):
+    """Composed IVF-PQ (residual codes inside probed lists — the IVFADC
+    layout): same planted-neighbor setup as the LSH/IVF/PQ tests, must
+    recover >=80% of the brute-force top-10."""
+    import random
+
+    import numpy as np
+
+    from lectura.vectorops import brute_force_topk, ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = np.asarray(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rng = random.Random(13)
+    planted = []
+    for i in range(15):
+        noise = np.asarray([rng.gauss(0, 0.02) for _ in qvec], dtype=np.float32)
+        planted.append((10_000 + i, (qvec + noise).astype(np.float32).tolist(), -1))
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    exact = [r.vec_id for r in brute_force_topk(aug, list(qvec), k=10).collect()]
+    approx = [r.vec_id for r in
+              ivfpq_topk(aug, list(qvec), k=10, n_centroids=8, n_probe=3,
+                         m=8, pq_centroids=16, rerank=100).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_ann_ivfpq_parallelism_invariant(spark):
+    """The persisted-index determinism contract extends to the composed
+    index: identical top-k at 1 partition and 16 partitions."""
+    from lectura.vectorops import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    r1 = [(r.vec_id, r.cosine) for r in
+          ivfpq_topk(emb.coalesce(1), qvec, k=10, n_centroids=8,
+                     n_probe=3, m=8, rerank=50).collect()]
+    r16 = [(r.vec_id, r.cosine) for r in
+           ivfpq_topk(emb.repartition(16), qvec, k=10, n_centroids=8,
+                      n_probe=3, m=8, rerank=50).collect()]
+    assert r1 == r16 and len(r1) == 10
