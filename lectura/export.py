@@ -65,13 +65,78 @@ def _gate(docs: DataFrame, min_tokens: int, min_quality: float,
     return gated
 
 
+NEAR_DUP_BACKENDS = ("simhash", "minhash", "containment")
+
+
+def _near_dup_pairs_fn(gated: DataFrame, near_dup: str, threshold: float,
+                       max_df: int | None):
+    """Near-dup backend choice for the export's cluster stage (VERDICT
+    r4 #4). Returns None for the default stored-simhash banding, else a
+    pairs_fn for _dedup_keep:
+
+    * ``minhash`` — DD3 MinHash-Jaccard banding over the WINNERS' text
+      (k=32 sigs, 8 bands; pair kept when estimated Jaccard ≥
+      `threshold`). Catches shingle-level near-dups whose simhash
+      drifted past the hamming radius.
+    * ``containment`` — DD2b one-sided containment over the winners'
+      text (pair kept when either direction ≥ `threshold`). Catches
+      ASYMMETRIC duplication — a short doc quoted wholesale inside a
+      long one — which is invisible to both simhash and symmetric
+      Jaccard by construction.
+
+    Cost model, stated honestly: the crawl's fused extraction persists
+    fingerprint+simhash but no minhash signatures or shingle sets, so
+    both text backends re-tokenize winner text — one scan-stage pass
+    plus one shuffle of shingle/band hashes (slim — text itself never
+    enters an exchange; the winner join is a keyed semi-equivalent).
+    Skew caps are the backends' own: banding bucket join for minhash,
+    the `max_df` hot-shingle cap for containment's inverted index.
+    Incremental export supports the simhash backend only (the slim
+    state carries no text)."""
+    if near_dup == "simhash":
+        return None
+    if near_dup not in NEAR_DUP_BACKENDS:
+        raise ValueError(f"unknown near_dup backend {near_dup!r}; "
+                         f"one of {NEAR_DUP_BACKENDS}")
+
+    def pairs_fn(winners: DataFrame) -> DataFrame:
+        wtext = (
+            gated.select("url", "text")
+            .join(winners.select("url", "_nid"), "url")
+            .select(F.col("_nid").alias("doc_id"), "text")
+        )
+        if near_dup == "minhash":
+            from lectura.textops import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(wtext, k=32, bands=8, n=3,
+                                      min_est_jaccard=threshold)
+        else:
+            from lectura.textops import containment_pairs
+
+            pairs = containment_pairs(wtext, n=3,
+                                      min_containment=threshold,
+                                      max_df=max_df)
+        return pairs.select(F.col("d1").alias("src"),
+                            F.col("d2").alias("dst"))
+
+    return pairs_fn
+
+
 def _dedup_keep(slim: DataFrame, *, max_hamming: int,
                 band_max_df: int | None,
-                mark=lambda label: None):
+                mark=lambda label: None,
+                pairs_fn=None):
     """Exact + near-dup winner selection over the SLIM (url,
     fingerprint, simhash) projection — the shared dedup core of the
     full and incremental export paths (both must label identically or
     incremental-after-append would diverge from a full re-export).
+
+    ``pairs_fn`` (near-dup backend choice): when given, the near-dup
+    edge stream comes from ``pairs_fn(winners)`` — a (src, dst) pair
+    DataFrame over the winners' ``_nid`` ids (the minhash / containment
+    backends, which need winner TEXT the slim projection doesn't carry)
+    — instead of the default stored-simhash banding; the hot-bucket
+    stat is then 0 (each backend carries its own skew cap).
 
     Returns (keep, n_hot, cleanup): `keep` = (url, n_exact_copies,
     cluster_size), one row per surviving document; `n_hot` = banding
@@ -92,32 +157,38 @@ def _dedup_keep(slim: DataFrame, *, max_hamming: int,
         .persist()
     )
 
-    sig = winners.select(F.col("_nid").alias("id"),
-                         F.col("simhash").alias("sh"))
-    # hot-bucket table computed ONCE (persisted — it is both the reported
-    # n_hot stat and band_pairs' exclusion list; without the handoff the
-    # chunk stream would aggregate twice)
     n_hot, hot = 0, None
-    if band_max_df is not None:
-        hot = (
-            simhash_chunks(sig).groupBy("chunk", "val").count()
-            .filter(F.col("count") > band_max_df).select("chunk", "val")
-            .persist()
-        )
-        n_hot = hot.count()
-    mark("winners_hotcount")
-    # dedupe=False: connected_components' canonical-edge distinct absorbs
-    # multi-chunk agreements, so the pair stream skips its own
-    # dropDuplicates shuffle. driver_max_edges: near-dup graphs are a
-    # sliver of the corpus — under 2M edges union-find on the driver
-    # replaces ~10 star-iteration jobs; past it (the 10^10-doc design
-    # point) the distributed path runs unchanged.
-    pairs = simhash_band_pairs(sig, max_hamming=max_hamming,
-                               max_df=band_max_df, hot_buckets=hot,
-                               dedupe=False)
+    if pairs_fn is not None:
+        mark("winners_hotcount")
+        edges = pairs_fn(winners)
+    else:
+        sig = winners.select(F.col("_nid").alias("id"),
+                             F.col("simhash").alias("sh"))
+        # hot-bucket table computed ONCE (persisted — it is both the
+        # reported n_hot stat and band_pairs' exclusion list; without the
+        # handoff the chunk stream would aggregate twice)
+        if band_max_df is not None:
+            hot = (
+                simhash_chunks(sig).groupBy("chunk", "val").count()
+                .filter(F.col("count") > band_max_df)
+                .select("chunk", "val")
+                .persist()
+            )
+            n_hot = hot.count()
+        mark("winners_hotcount")
+        # dedupe=False: connected_components' canonical-edge distinct
+        # absorbs multi-chunk agreements, so the pair stream skips its own
+        # dropDuplicates shuffle.
+        edges = simhash_band_pairs(
+            sig, max_hamming=max_hamming, max_df=band_max_df,
+            hot_buckets=hot, dedupe=False,
+        ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    # driver_max_edges: near-dup graphs are a sliver of the corpus —
+    # under 2M edges union-find on the driver replaces ~10
+    # star-iteration jobs; past it (the 10^10-doc design point) the
+    # distributed path runs unchanged.
     comp = connected_components(
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")),
-        driver_max_edges=2_000_000,
+        edges, driver_max_edges=2_000_000,
     ).localCheckpoint()
     if hot is not None:
         hot.unpersist()
@@ -148,6 +219,8 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                   langs: tuple[str, ...] | None = ("en",),
                   max_hamming: int = 3,
                   band_max_df: int | None = 256,
+                  near_dup: str = "simhash",
+                  near_dup_threshold: float = 0.8,
                   bench: DataFrame | None = None,
                   contam_n: int = 8,
                   sample_rates: dict[str, float] | None = None,
@@ -221,7 +294,9 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     slim = gated.select("url", "fingerprint", "simhash")
     keep, n_hot, dedup_cleanup = _dedup_keep(
         slim, max_hamming=max_hamming, band_max_df=band_max_df,
-        mark=_mark)
+        mark=_mark,
+        pairs_fn=_near_dup_pairs_fn(gated, near_dup, near_dup_threshold,
+                                    band_max_df))
     _mark("comp_join_gate")
     out = gated.join(keep, "url").select(
         *EXPORT_COLS, "n_exact_copies", "cluster_size"
@@ -307,7 +382,8 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
     # subtraction∪re-add of already-incorporated urls is a no-op), so a
     # crash between the three commits never corrupts, only re-does work.
     incremental_ok = (bench is None and sample_rates is None
-                      and chunk is None and not shard_tokens)
+                      and chunk is None and not shard_tokens
+                      and near_dup == "simhash")
     wh.overwrite(_state_table(out_table),
                  gated.select("url", "fingerprint", "simhash")
                  .repartition(max(1, n_parts // 4), "url"))
@@ -318,7 +394,9 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
                 band_max_df=band_max_df)
     _mark("state_meta")
     stats = {"table": out_table, "snapshot": snap, "n_docs": int(n_docs),
-             "n_hot_buckets_dropped": n_hot}
+             "near_dup": near_dup, "n_hot_buckets_dropped": n_hot}
+    if near_dup != "simhash":
+        stats["near_dup_threshold"] = near_dup_threshold
     if bench is not None:
         stats["n_contaminated_dropped"] = int(n_contaminated)
     if chunk is not None:
@@ -458,9 +536,10 @@ def export_corpus_incremental(wh: Warehouse, *,
     if not meta["incremental_ok"]:
         raise ValueError(
             f"export meta for {out_table!r} records a full run with "
-            "selection stages (decontaminate/sample/chunk/shard) — "
-            "those are not incrementally composable; run a full "
-            "export_corpus")
+            "selection stages (decontaminate/sample/chunk/shard) or a "
+            "text-based near-dup backend (minhash/containment) — "
+            "neither is incrementally composable (the slim state "
+            "carries no text); run a full export_corpus")
     want = {"min_tokens": min_tokens, "min_quality": min_quality,
             "langs": list(langs) if langs is not None else None,
             "max_hamming": max_hamming, "band_max_df": band_max_df}
@@ -560,6 +639,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--band-max-df", type=int, default=256,
                     help="hot-bucket cap for the simhash banding join; "
                          "0 disables")
+    ap.add_argument("--near-dup", default="simhash",
+                    choices=["simhash", "minhash", "containment"],
+                    help="near-dup cluster backend: stored-simhash "
+                         "banding (default, --max-hamming radius), "
+                         "MinHash-Jaccard banding over winner text, or "
+                         "one-sided containment (catches asymmetric "
+                         "quotation dups simhash cannot see)")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8,
+                    help="minhash: min estimated Jaccard; containment: "
+                         "min max(c12, c21); ignored for simhash")
     ap.add_argument("--decontaminate", default=None,
                     help="warehouse table or parquet path of benchmark "
                          "docs (url, text); drops overlapping train docs")
@@ -602,7 +691,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--decontaminate", args.decontaminate),
             ("--sample", args.sample),
             ("--shard-tokens", args.shard_tokens),
-            ("--chunk", args.chunk)) if v]
+            ("--chunk", args.chunk),
+            ("--near-dup", args.near_dup != "simhash")) if v]
         if bad:
             ap.error(f"--incremental does not compose with {bad} "
                      "(selection stages need a full export)")
@@ -638,6 +728,8 @@ def main(argv: list[str] | None = None) -> int:
         wh, min_tokens=args.min_tokens, min_quality=args.min_quality,
         langs=langs, max_hamming=args.max_hamming, out_table=args.out_table,
         band_max_df=args.band_max_df or None,
+        near_dup=args.near_dup,
+        near_dup_threshold=args.near_dup_threshold,
         bench=bench, contam_n=args.contam_ngram,
         sample_rates=sample_rates, sample_default_rate=sample_default,
         sample_salt=args.sample_salt, shard_tokens=args.shard_tokens,

@@ -239,3 +239,106 @@ def test_export_chunked_windows(spark, text_wh):
     for _, n_tok, sid in srows:
         assert sid == run // 64
         run += n_tok
+
+
+def _mk_backend_docs():
+    """Planted families for the near-dup backend choice:
+    - exact family: 2 identical docs (collapses under EVERY backend);
+    - shingle family: a long random doc + a copy with a few words
+      swapped mid-stream (high Jaccard, simhash within radius);
+    - quotation pair: a SHORT doc that is an exact contiguous slice of
+      a LONG doc (containment c12 = 1.0) whose symmetric Jaccard is
+      ~len_short/len_long — invisible to minhash banding at 0.8 and to
+      simhash (different length → different bit profile);
+    - 15 independent random docs that no backend may merge."""
+    import random
+
+    rng = random.Random(47)
+    words = lambda n, r: " ".join(  # noqa: E731
+        r.choice(VOCAB) for _ in range(n))
+    docs = {}
+    base = words(120, rng)
+    docs["http://sh.example/orig"] = base
+    toks = base.split()
+    toks[60] = "swapped"
+    toks[61] = "tokens"
+    docs["http://sh.example/edit"] = " ".join(toks)
+    long_doc = words(400, random.Random(48))
+    short_doc = " ".join(long_doc.split()[100:140])  # 40-word slice
+    docs["http://q.example/long"] = long_doc
+    docs["http://q.example/short"] = short_doc
+    exact_text = words(80, random.Random(999))
+    docs["http://x.example/exact1"] = exact_text
+    docs["http://y.example/exact2"] = exact_text
+    for i in range(15):
+        docs[f"http://r{i}.example/p"] = words(60, random.Random(100 + i))
+    return docs
+
+
+@pytest.mark.parametrize("backend", ["simhash", "minhash", "containment"])
+def test_export_near_dup_backends(spark, tmp_path, backend):
+    docs = _mk_backend_docs()
+    rows = []
+    for u, t in docs.items():
+        s = enrich_text(t, {})
+        rows.append({
+            "url": u, "text": t, "n_tokens": s["n_tokens"],
+            "quality": s["quality"], "lang_guess": s["lang_guess"],
+            "fingerprint": s["fingerprint"], "simhash": s["simhash"],
+        })
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("text", spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="url string, text string, n_tokens int, quality double, "
+               "lang_guess string, fingerprint long, simhash long",
+    ))
+    stats = export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                          near_dup=backend, near_dup_threshold=0.8)
+    assert stats["near_dup"] == backend  # stats line reports the backend
+    got = {r.url: r for r in wh.read("train_docs").collect()}
+
+    # exact dedup is backend-independent
+    assert ("http://x.example/exact1" in got) ^ \
+        ("http://y.example/exact2" in got)
+    exact_keeper = got.get("http://x.example/exact1")
+    assert exact_keeper is not None and exact_keeper.n_exact_copies == 2
+    # every independent random doc survives as its own cluster
+    for i in range(15):
+        assert got[f"http://r{i}.example/p"].cluster_size == 1, i
+    # the shingle family (minor mid-doc edit) collapses under simhash
+    # AND minhash (keeper = min url = .../edit); the quotation pair
+    # collapses ONLY under containment
+    shingle_merged = "http://sh.example/orig" not in got \
+        and got["http://sh.example/edit"].cluster_size >= 2
+    quote_merged = "http://q.example/short" not in got \
+        and got["http://q.example/long"].cluster_size == 2
+    if backend == "containment":
+        assert quote_merged
+    else:
+        assert not quote_merged
+        assert "http://q.example/short" in got
+    if backend in ("simhash", "minhash"):
+        assert shingle_merged, backend
+
+
+def test_export_incremental_rejects_text_backends(spark, tmp_path):
+    from lectura.export import export_corpus_incremental
+
+    docs = _mk_backend_docs()
+    rows = []
+    for u, t in docs.items():
+        s = enrich_text(t, {})
+        rows.append({
+            "url": u, "text": t, "n_tokens": s["n_tokens"],
+            "quality": s["quality"], "lang_guess": s["lang_guess"],
+            "fingerprint": s["fingerprint"], "simhash": s["simhash"],
+        })
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("text", spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="url string, text string, n_tokens int, quality double, "
+               "lang_guess string, fingerprint long, simhash long",
+    ))
+    export_corpus(wh, min_tokens=20, n_parts=4, near_dup="minhash")
+    with pytest.raises(ValueError, match="near-dup backend"):
+        export_corpus_incremental(wh, min_tokens=20, n_parts=4)
