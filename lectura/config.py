@@ -57,6 +57,15 @@ class CrawlConfig:
     # scale with round size — the r3 hardcoded coalesce(4) pushed every
     # cluster-scale round (10^7-10^8 urls) through 4 tasks.
     sink_rows_per_file: int = 250_000
+    # Revisit rounds (C2 wired into the crawl loop — SEMANTICS.md §16):
+    # `Crawler.run(rounds, recrawl_rounds=K)` appends K revisit rounds
+    # after the discovery rounds. A revisit round's candidates come from
+    # the recrawl_due estimator over fetch history (Poisson change-
+    # interval, clamped to [min, max] seconds), NOT the frontier; keys
+    # never observed to change sit at max. Defaults mirror
+    # frontier.recrawl_schedule's contract defaults.
+    recrawl_min_interval_s: float = 3600.0
+    recrawl_max_interval_s: float = 30.0 * 86400.0
     # schedule()'s global deterministic rank (VERDICT r3 #2): at or
     # below this round cap the TakeOrderedAndProject + one
     # cap-bounded window is optimal (distributed top-k heap, tiny
@@ -78,6 +87,14 @@ class CrawlConfig:
         from datetime import timedelta
 
         return self.start_ts + timedelta(seconds=self.round_seconds * r)
+
+    def epoch(self, r: int) -> float:
+        """round_ts(r) as a float epoch via the SAME arithmetic in Python
+        and in the Spark revisit plan (`start_epoch + round_seconds * r`,
+        left-associated) — the recrawl overdue scores feed ORDER BY keys,
+        so both engines must produce bit-identical doubles (SEMANTICS.md
+        §4 float discipline)."""
+        return self.start_ts.timestamp() + self.round_seconds * r
 
     def child_score(self, child_depth: int, parent_score: float) -> float:
         return self.depth_base()[child_depth] + self.w2 * parent_score

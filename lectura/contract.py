@@ -4091,6 +4091,74 @@ def recrawl_sched(spark, sf_dir):
     return recrawl_schedule(ev, 1753920000)
 
 
+# C2b — the crawl-loop face of recrawl scheduling (SEMANTICS.md §16):
+# lag-derived change flags over per-(url, round) fingerprints, the
+# unrounded Poisson estimator, and the due filter — exactly the revisit
+# candidate computation `Crawler._revisit_candidates` runs, on a
+# deterministic events-derived history. Output overdue rounded to 6 only
+# for the value hash (min/max/int-sum inputs make the division
+# bit-identical across engines; the crawl path keeps it unrounded).
+@q(
+    "recrawl_due_c2b",
+    """
+    WITH g AS (
+      SELECT printf('https://r%d.example.com/page', user_id) AS url,
+             printf('r%d.example.com', user_id) AS host,
+             event_id % 7 AS round,
+             min(event_id % 3) AS fingerprint
+      FROM events GROUP BY 1, 2, 3
+    ), h AS (
+      SELECT *,
+             lag(fingerprint) OVER (PARTITION BY url ORDER BY round) AS prev,
+             1753920000.0 + 60.0 * round AS ts_epoch
+      FROM g
+    ), a AS (
+      SELECT url, host,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND fingerprint <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             min(ts_epoch) AS first_epoch,
+             max(ts_epoch) AS last_epoch
+      FROM h GROUP BY 1, 2
+    ), e AS (
+      SELECT *,
+             least(greatest(
+                 CASE WHEN n_changes > 0
+                   THEN (last_epoch - first_epoch) / n_changes
+                   ELSE 300.0 END, 90.0), 300.0) AS est
+      FROM a
+    )
+    SELECT url, host,
+           round((1753920600.0 - last_epoch - est) / est, 6) AS overdue
+    FROM e
+    WHERE (1753920600.0 - last_epoch - est) / est >= 0.0
+    """,
+)
+def recrawl_due_c2b(spark, sf_dir):
+    from lectura.frontier import recrawl_due
+
+    ev = t(spark, sf_dir, "events").select(
+        F.format_string("https://r%d.example.com/page",
+                        F.col("user_id")).alias("url"),
+        F.format_string("r%d.example.com", F.col("user_id")).alias("host"),
+        (F.col("event_id") % 7).alias("round"),
+        (F.col("event_id") % 3).alias("fp0"),
+    )
+    g = ev.groupBy("url", "host", "round").agg(F.min("fp0").alias("fingerprint"))
+    w = Window.partitionBy("url").orderBy("round")
+    hist = (
+        g.withColumn("_prev", F.lag("fingerprint").over(w))
+        .withColumn(
+            "changed",
+            F.col("_prev").isNotNull()
+            & (F.col("fingerprint") != F.col("_prev")),
+        )
+        .withColumn("ts_epoch",
+                    F.lit(1753920000.0) + F.lit(60.0) * F.col("round"))
+    )
+    due = recrawl_due(hist, 1753920000.0 + 60.0 * 10, 90.0, 300.0)
+    return due.select("url", "host", F.round("overdue", 6).alias("overdue"))
+
+
 # Q5 — PII scrubbing (C4/RefinedWeb-style email/IPv4/phone redaction):
 # documents text gets deterministic planted PII per doc_id class; both
 # engines run the identical dialect-safe regex pipeline in the frozen

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from lectura.config import CrawlConfig
 from lectura.checkpoint import RoundLog
 from lectura.extract import extract_pages, warc_fetch_extract
-from lectura.frontier import dedupe_frontier, rank_per_host, schedule, with_budget
+from lectura.frontier import (dedupe_frontier, rank_per_host, recrawl_due,
+                              schedule, with_budget)
 from lectura.metrics import fetch_metrics, partition_lineage
 from lectura.robots import (apply_robots, build_rule_arrays,
                             build_rule_table, host_delay_table)
@@ -411,7 +412,46 @@ class Crawler:
         return snaps
 
     # -- one round -------------------------------------------------------------
-    def run_round(self, rnd: int) -> dict:
+    def _revisit_candidates(self, rnd: int) -> DataFrame:
+        """C2 wired into the crawl loop (SEMANTICS.md §16): frontier-shaped
+        candidates for a REVISIT round, computed from the warehouse's own
+        fetch history instead of the frontier table.
+
+        History = every committed ok fetch (fetch_log) joined to its
+        extraction fingerprint (the text table's enrichment column), with
+        `changed` = fingerprint differs from the previous ok fetch of the
+        same url (one url-keyed lag window — the only shuffle besides the
+        join). recrawl_due keeps keys whose estimated change interval has
+        elapsed; `overdue` becomes the candidate score, so pages that
+        change often (or are longest-unvisited) are revisited first, and
+        children discovered on a revisited page inherit freshness-weighted
+        scores through the normal child_score path. depth is 0 by
+        definition (a revisit is a root-like fetch, SEMANTICS.md §16)."""
+        cfg, wh = self.cfg, self.wh
+        fl = (
+            wh.read("fetch_log")
+            .filter((F.col("status") == "ok") & (F.col("round") < rnd))
+            .select("url", "host", "round")
+        )
+        fp = wh.read("text").select("url", "round", "fingerprint")
+        hist = fl.join(fp, ["url", "round"]).withColumn(
+            "ts_epoch",
+            F.lit(cfg.epoch(0)) + F.lit(float(cfg.round_seconds)) * F.col("round"),
+        )
+        w = Window.partitionBy("url").orderBy("round")
+        hist = hist.withColumn("_prev", F.lag("fingerprint").over(w)).withColumn(
+            "changed",
+            F.col("_prev").isNotNull()
+            & (F.col("fingerprint") != F.col("_prev")),
+        )
+        due = recrawl_due(hist, cfg.epoch(rnd), cfg.recrawl_min_interval_s,
+                          cfg.recrawl_max_interval_s)
+        return with_url_parts(
+            due.select("url", F.lit(0).alias("depth"),
+                       F.col("overdue").alias("score"))
+        )
+
+    def run_round(self, rnd: int, revisit: bool = False) -> dict:
         cfg, wh, spark = self.cfg, self.wh, self.spark
         round_ts = cfg.round_ts(rnd)
         t0 = time.time()
@@ -438,28 +478,41 @@ class Crawler:
         )
         hs_small = wh.approx_rows("host_state") <= cfg.broadcast_max_rows
 
-        # Candidate set: the frontier table is INVARIANTLY written
-        # url-deduped (init_tables and next_frontier both pass through
-        # dedupe_frontier before the append; resume restores committed
-        # snapshots only), so the per-round re-dedupe would be a pure
-        # no-op shuffle+sort of the whole frontier — skip it.
-        cand = frontier.drop("for_round")
-        if cfg.use_bloom and wh.exists("seen_shards"):
-            shards = wh.read("seen_shards")
-            probe = (cuckoo_probe if cfg.seen_filter == "cuckoo"
-                     else bloom_probe)
-            cand = (
-                probe(cand, shards, cfg.n_shards)
-                .filter(~F.col("maybe_seen"))
-                .drop("maybe_seen", "shard_id", "url_key")
-            )
+        if revisit:
+            # Revisit round (SEMANTICS.md §16): candidates come from the
+            # recrawl-due estimator over committed fetch history, NOT the
+            # frontier (which passes through untouched below). No seen
+            # filter (every candidate is seen by construction) and no
+            # robots pass (history contains only fetches that robots
+            # allowed, and rules are static within a crawl). The deferred
+            # laggard sinks include fetch_log — join them before reading.
+            self._join_pending()
+            verdict = None
+            blocked = None
+            allowed = self._revisit_candidates(rnd)
         else:
-            cand = anti_join_seen(cand, seen)
+            # Candidate set: the frontier table is INVARIANTLY written
+            # url-deduped (init_tables and next_frontier both pass through
+            # dedupe_frontier before the append; resume restores committed
+            # snapshots only), so the per-round re-dedupe would be a pure
+            # no-op shuffle+sort of the whole frontier — skip it.
+            cand = frontier.drop("for_round")
+            if cfg.use_bloom and wh.exists("seen_shards"):
+                shards = wh.read("seen_shards")
+                probe = (cuckoo_probe if cfg.seen_filter == "cuckoo"
+                         else bloom_probe)
+                cand = (
+                    probe(cand, shards, cfg.n_shards)
+                    .filter(~F.col("maybe_seen"))
+                    .drop("maybe_seen", "shard_id", "url_key")
+                )
+            else:
+                cand = anti_join_seen(cand, seen)
 
-        # robots verdicts (broadcast rules + longest-match window)
-        verdict = apply_robots(cand, rule_arrays=rule_arrays).cache()
-        allowed = verdict.filter(F.col("allowed")).drop("allowed")
-        blocked = verdict.filter(~F.col("allowed")).select("url")
+            # robots verdicts (broadcast rules + longest-match window)
+            verdict = apply_robots(cand, rule_arrays=rule_arrays).cache()
+            allowed = verdict.filter(F.col("allowed")).drop("allowed")
+            blocked = verdict.filter(~F.col("allowed")).select("url")
 
         # politeness + ranking + global deterministic cap
         budgeted = with_budget(allowed, host_delay, host_state,
@@ -603,13 +656,26 @@ class Crawler:
                 .withColumn("discovered_ts", F.lit(round_ts))
             )
 
-        leftovers = allowed.join(bc(scheduled.select("url")), "url", "left_anti")
-        new_seen = scheduled.select("url").unionByName(blocked).distinct().cache()
-        # seen grows with the crawl: broadcast the anti-join side only
-        # while its footer-counted row bound stays under the gate, else
-        # shuffle (same scale rule as host_state).
-        seen_rows = wh.approx_rows("seen") + 2 * n_scheduled
-        seen_all = seen.select("url").unionByName(new_seen)
+        if revisit:
+            # Unscheduled-but-due revisits are NOT re-queued: due-ness is
+            # recomputed fresh from history next revisit round, so the
+            # pending frontier passes through untouched and merges only
+            # with the newly-discovered children. Nothing new becomes
+            # seen (every revisit is seen by construction).
+            leftovers = frontier.drop("for_round")
+            new_seen = None
+            seen_rows = wh.approx_rows("seen")
+            seen_all = seen.select("url")
+        else:
+            leftovers = allowed.join(
+                bc(scheduled.select("url")), "url", "left_anti")
+            new_seen = (scheduled.select("url").unionByName(blocked)
+                        .distinct().cache())
+            # seen grows with the crawl: broadcast the anti-join side only
+            # while its footer-counted row bound stays under the gate, else
+            # shuffle (same scale rule as host_state).
+            seen_rows = wh.approx_rows("seen") + 2 * n_scheduled
+            seen_all = seen.select("url").unionByName(new_seen)
         if seen_rows <= cfg.broadcast_max_rows:
             # Seen-filter EARLY, while it is a broadcast-hash anti-join:
             # children link overwhelmingly to just-scheduled pages (nav
@@ -674,6 +740,8 @@ class Crawler:
             )
 
         def w_seen():
+            if revisit:
+                return
             wh.append(
                 "seen",
                 new_seen.select("url", F.lit(rnd).alias("round"))
@@ -681,7 +749,7 @@ class Crawler:
             )
 
         def w_bloom():
-            if not cfg.use_bloom:
+            if revisit or not cfg.use_bloom:
                 return
             commit_bloom(wh, spark, cfg, rnd, seen, new_seen)
 
@@ -760,8 +828,10 @@ class Crawler:
             "extracted": int(n_extracted),
             "seconds": round(time.time() - t0, 3),
         }
-        verdict.unpersist()
-        new_seen.unpersist()
+        if verdict is not None:
+            verdict.unpersist()
+        if new_seen is not None:
+            new_seen.unpersist()
 
         def _finish():
             try:
@@ -786,7 +856,11 @@ class Crawler:
         return stats
 
     # -- loop -----------------------------------------------------------------
-    def run(self, rounds: int, resume: bool = True) -> list[dict]:
+    def run(self, rounds: int, resume: bool = True,
+            recrawl_rounds: int = 0) -> list[dict]:
+        """`rounds` discovery rounds, then `recrawl_rounds` revisit rounds
+        (SEMANTICS.md §16) — numbered rounds+1 … rounds+K so checkpoint/
+        resume treats them as ordinary rounds."""
         start = 0
         if resume:
             last = self.log.last_committed()
@@ -794,8 +868,8 @@ class Crawler:
                 self.log.restore(self.wh, last)
                 start = last
         stats = []
-        for rnd in range(start + 1, rounds + 1):
-            stats.append(self.run_round(rnd))
+        for rnd in range(start + 1, rounds + recrawl_rounds + 1):
+            stats.append(self.run_round(rnd, revisit=rnd > rounds))
         # the final round's deferred sinks + commit must land before the
         # crawl is considered done (and before any reader trusts the log)
         self._join_pending()
@@ -824,6 +898,13 @@ def main() -> None:
                     help="approximate seen-set backend (with --use-bloom)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--max-round-urls", type=int, default=10_000)
+    ap.add_argument("--recrawl-rounds", type=int, default=0,
+                    help="revisit rounds appended after the discovery "
+                         "rounds (SEMANTICS.md §16)")
+    ap.add_argument("--recrawl-min-s", type=float, default=3600.0,
+                    help="recrawl estimator clamp floor (seconds)")
+    ap.add_argument("--recrawl-max-s", type=float, default=30.0 * 86400.0,
+                    help="recrawl estimator clamp ceiling (seconds)")
     args = ap.parse_args()
 
     from lectura.session import get_spark
@@ -834,13 +915,15 @@ def main() -> None:
     wh = Warehouse(args.warehouse, spark)
     cfg = CrawlConfig(use_bloom=args.use_bloom,
                       seen_filter=args.seen_filter,
-                      max_round_urls=args.max_round_urls)
+                      max_round_urls=args.max_round_urls,
+                      recrawl_min_interval_s=args.recrawl_min_s,
+                      recrawl_max_interval_s=args.recrawl_max_s)
     crawler = Crawler(spark, wh, cfg)
     if not wh.exists("pages"):
         p = SynthParams(n_urls=args.n_urls, n_hosts=args.n_hosts)
         pages, seeds, robots = materialize_corpus(spark, p)
         crawler.init_tables(pages, seeds, robots)
-    for s in crawler.run(args.rounds):
+    for s in crawler.run(args.rounds, recrawl_rounds=args.recrawl_rounds):
         print(s)
 
 

@@ -234,6 +234,43 @@ def recrawl_schedule(history: DataFrame, now_epoch_s: int,
     )
 
 
+def recrawl_due(history: DataFrame, now_epoch: float,
+                min_interval_s: float, max_interval_s: float) -> DataFrame:
+    """The crawl-loop face of C2 (`recrawl_schedule`): due-for-revisit
+    keys from per-fetch history rows (url, host, ts_epoch double,
+    changed boolean), keeping only `overdue >= 0`.
+
+    Same Poisson change-interval estimator as recrawl_schedule, with two
+    differences required by the revisit-round contract (SEMANTICS.md
+    §16): epochs are already-float doubles produced by
+    ``CrawlConfig.epoch`` (not unix_timestamp's integer seconds), and
+    NOTHING is rounded — `overdue` becomes the revisit round's ORDER BY
+    score, so the Spark plan and the pure-Python oracle must agree
+    bit-for-bit, which they do because both run the identical
+    left-associated double arithmetic.
+
+    Scale shape: ONE hash aggregation over the history (partial aggs
+    map-side; host rides the url group-by for free — it is functionally
+    dependent on url), no window, no join; output ≤ distinct fetched
+    urls, further cut by the due filter."""
+    g = history.groupBy("url", "host").agg(
+        F.sum(F.col("changed").cast("long")).alias("n_changes"),
+        F.min("ts_epoch").alias("first_epoch"),
+        F.max("ts_epoch").alias("last_epoch"),
+    )
+    est = F.when(
+        F.col("n_changes") > 0,
+        (F.col("last_epoch") - F.col("first_epoch")) / F.col("n_changes"),
+    ).otherwise(F.lit(float(max_interval_s)))
+    est = F.least(F.greatest(est, F.lit(float(min_interval_s))),
+                  F.lit(float(max_interval_s)))
+    overdue = (F.lit(float(now_epoch)) - F.col("last_epoch") - est) / est
+    return (
+        g.select("url", "host", overdue.alias("overdue"))
+        .filter(F.col("overdue") >= 0.0)
+    )
+
+
 def trap_templates(urls: DataFrame, min_fanout: int = 100,
                    min_frac: float = 0.5,
                    url_col: str = "url") -> DataFrame:

@@ -52,7 +52,54 @@ def dedupe_frontier(rows: list[dict]) -> list[dict]:
     return [_best_row(v) for v in by_url.values()]
 
 
-def run_oracle(corpus: dict, cfg: CrawlConfig, rounds: int) -> OracleResult:
+def _fetch_one(r: dict, rnd: int, round_ts, cfg: CrawlConfig, base: dict,
+               pages_by_url: dict, res: OracleResult,
+               fp_hist: dict, host_of: dict, enrich_cache: dict,
+               children: list[dict]) -> None:
+    """As-of fetch + extract of one scheduled row (shared by discovery and
+    revisit rounds — SEMANTICS.md §16 requires the identical fetch path).
+    Appends the fetch_log row, updates latest text + fingerprint history,
+    and extends `children` with scored outlinks."""
+    from lectura.pure.enrich import enrich_text
+
+    caps = [c for c in pages_by_url.get(r["url"], []) if c[0] <= round_ts]
+    if not caps:
+        res.fetch_log.append(
+            {"round": rnd, "url": r["url"], "host": r["host"],
+             "status": "miss", "n_links": 0, "bytes": 0}
+        )
+        return
+    ts, html, _ = caps[-1]
+    text = extract_text(html)
+    res.text[r["url"]] = text
+    fp_hist.setdefault(r["url"], []).append(
+        (rnd, enrich_text(text, enrich_cache)["fingerprint"])
+    )
+    host_of[r["url"]] = r["host"]
+    links = extract_links(html, r["url"])
+    res.fetch_log.append(
+        {"round": rnd, "url": r["url"], "host": r["host"],
+         "status": "ok", "n_links": len(links), "bytes": len(html)}
+    )
+    child_depth = r["depth"] + 1
+    if child_depth > cfg.max_depth:
+        return
+    sc = base[child_depth] + cfg.w2 * r["score"]
+    for link in links:
+        children.append(
+            {
+                "url": link,
+                "host": registered_host(link),
+                "depth": child_depth,
+                "score": sc,
+                "discovered_ts": round_ts,
+                "src_url": r["url"],
+            }
+        )
+
+
+def run_oracle(corpus: dict, cfg: CrawlConfig, rounds: int,
+               recrawl_rounds: int = 0) -> OracleResult:
     # --- static lookups -------------------------------------------------
     pages_by_url: dict[str, list[tuple[datetime, bytes, str]]] = {}
     for p in corpus["pages"]:
@@ -89,6 +136,12 @@ def run_oracle(corpus: dict, cfg: CrawlConfig, rounds: int) -> OracleResult:
     base = cfg.depth_base()
     res = OracleResult()
     host_last_round: dict[str, int] = {}
+    # per-url ok-fetch history for revisit rounds (SEMANTICS.md §16):
+    # ordered (round, text fingerprint) pairs, fingerprint from the SAME
+    # pure enrichment the Spark extraction writes to the text table.
+    fp_hist: dict[str, list[tuple[int, int]]] = {}
+    host_of: dict[str, str] = {}
+    enrich_cache: dict = {}
 
     # --- round 0 frontier: canonicalized seeds --------------------------
     frontier: list[dict] = []
@@ -199,40 +252,68 @@ def run_oracle(corpus: dict, cfg: CrawlConfig, rounds: int) -> OracleResult:
         # fetch (as-of) + extract
         children: list[dict] = []
         for r in scheduled:
-            caps = [c for c in pages_by_url.get(r["url"], []) if c[0] <= round_ts]
-            if not caps:
-                res.fetch_log.append(
-                    {"round": rnd, "url": r["url"], "host": r["host"],
-                     "status": "miss", "n_links": 0, "bytes": 0}
-                )
-                continue
-            ts, html, _ = caps[-1]
-            text = extract_text(html)
-            res.text[r["url"]] = text
-            links = extract_links(html, r["url"])
-            res.fetch_log.append(
-                {"round": rnd, "url": r["url"], "host": r["host"],
-                 "status": "ok", "n_links": len(links), "bytes": len(html)}
-            )
-            child_depth = r["depth"] + 1
-            if child_depth > cfg.max_depth:
-                continue
-            sc = base[child_depth] + cfg.w2 * r["score"]
-            for link in links:
-                children.append(
-                    {
-                        "url": link,
-                        "host": registered_host(link),
-                        "depth": child_depth,
-                        "score": sc,
-                        "discovered_ts": round_ts,
-                        "src_url": r["url"],
-                    }
-                )
+            _fetch_one(r, rnd, round_ts, cfg, base, pages_by_url, res,
+                       fp_hist, host_of, enrich_cache, children)
 
         frontier = [
             r
             for r in dedupe_frontier(leftovers + children)
+            if r["url"] not in res.seen
+        ]
+
+    # --- revisit rounds (SEMANTICS.md §16) -------------------------------
+    for rnd in range(rounds + 1, rounds + recrawl_rounds + 1):
+        now = cfg.epoch(rnd)
+        round_ts = cfg.round_ts(rnd)
+        cands: list[dict] = []
+        for url, obs in fp_hist.items():
+            n_changes = sum(
+                1 for a, b in zip(obs, obs[1:]) if a[1] != b[1]
+            )
+            first = cfg.epoch(obs[0][0])
+            last = cfg.epoch(obs[-1][0])
+            if n_changes > 0:
+                est = (last - first) / n_changes
+            else:
+                est = cfg.recrawl_max_interval_s
+            est = min(max(est, cfg.recrawl_min_interval_s),
+                      cfg.recrawl_max_interval_s)
+            overdue = (now - last - est) / est
+            if overdue >= 0.0:
+                cands.append({"url": url, "host": host_of[url],
+                              "depth": 0, "score": overdue})
+
+        by_host: dict[str, list[dict]] = {}
+        for r in cands:
+            by_host.setdefault(r["host"], []).append(r)
+        kept: list[dict] = []
+        for host, rows in by_host.items():
+            b = cfg.budget(host_delay(host), rnd, host_last_round.get(host))
+            rows.sort(key=lambda r: (-r["score"], r["depth"], r["url"]))
+            kept.extend(rows[:b])
+        kept.sort(key=lambda r: (-r["score"], host_reverse_key(r["url"]),
+                                 r["url"]))
+        scheduled = kept[: cfg.max_round_urls]
+        # unscheduled-but-due revisits are NOT re-queued (due-ness is
+        # recomputed from history next revisit round); nothing new
+        # becomes seen.
+        res.scheduled.append(
+            [
+                {"url": r["url"], "host": r["host"], "depth": r["depth"],
+                 "score": r["score"]}
+                for r in scheduled
+            ]
+        )
+        for host in {r["host"] for r in scheduled}:
+            host_last_round[host] = rnd
+
+        children = []
+        for r in scheduled:
+            _fetch_one(r, rnd, round_ts, cfg, base, pages_by_url, res,
+                       fp_hist, host_of, enrich_cache, children)
+        frontier = [
+            r
+            for r in dedupe_frontier(frontier + children)
             if r["url"] not in res.seen
         ]
 
