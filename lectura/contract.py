@@ -4113,12 +4113,12 @@ def recrawl_sched(spark, sf_dir):
              1753920000.0 + 60.0 * round AS ts_epoch
       FROM g
     ), a AS (
-      SELECT url, host,
+      SELECT url, max(host) AS host,
              CAST(sum(CASE WHEN prev IS NOT NULL AND fingerprint <> prev
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
              min(ts_epoch) AS first_epoch,
              max(ts_epoch) AS last_epoch
-      FROM h GROUP BY 1, 2
+      FROM h GROUP BY 1
     ), e AS (
       SELECT *,
              least(greatest(

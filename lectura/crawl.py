@@ -214,6 +214,45 @@ def asof_fetch(pages: DataFrame, scheduled: DataFrame, round_ts, cfg,
     return latest.repartition(n_extract_parts), False
 
 
+def revisit_due(fetch_log: DataFrame, text: DataFrame, cfg: CrawlConfig,
+                rnd: int) -> DataFrame:
+    """Due-for-revisit urls before round `rnd` (SEMANTICS.md §16).
+
+    History = every committed ok fetch (fetch_log, rounds < rnd) joined
+    to its extraction fingerprint (the text table's enrichment column),
+    with `changed` = fingerprint differs from the previous ok fetch of
+    the same url (one url-keyed lag window). recrawl_due keeps keys
+    whose estimated change interval has elapsed; `overdue` becomes the
+    candidate score, so pages that change often (or are longest-
+    unvisited) are revisited first, and children discovered on a
+    revisited page inherit freshness-weighted scores through the normal
+    child_score path.
+
+    Scale shape: slim columns only (url, host, round, fingerprint —
+    text NEVER moves), one (url, round) equi-join, one url-keyed lag
+    window, then recrawl_due's single hash agg which REUSES the
+    window's url partitioning (grouped by url alone) — no further
+    exchange. Epochs use CrawlConfig.epoch's float discipline so
+    overdue is bit-identical to the pure oracle's."""
+    fl = (
+        fetch_log
+        .filter((F.col("status") == "ok") & (F.col("round") < rnd))
+        .select("url", "host", "round")
+    )
+    fp = text.select("url", "round", "fingerprint")
+    hist = fl.join(fp, ["url", "round"]).withColumn(
+        "ts_epoch",
+        F.lit(cfg.epoch(0)) + F.lit(float(cfg.round_seconds)) * F.col("round"),
+    )
+    w = Window.partitionBy("url").orderBy("round")
+    hist = hist.withColumn("_prev", F.lag("fingerprint").over(w)).withColumn(
+        "changed",
+        F.col("_prev").isNotNull() & (F.col("fingerprint") != F.col("_prev")),
+    )
+    return recrawl_due(hist, cfg.epoch(rnd), cfg.recrawl_min_interval_s,
+                       cfg.recrawl_max_interval_s)
+
+
 class Crawler:
     def __init__(self, spark: SparkSession, wh: Warehouse,
                  cfg: CrawlConfig | None = None):
@@ -415,37 +454,10 @@ class Crawler:
     def _revisit_candidates(self, rnd: int) -> DataFrame:
         """C2 wired into the crawl loop (SEMANTICS.md §16): frontier-shaped
         candidates for a REVISIT round, computed from the warehouse's own
-        fetch history instead of the frontier table.
-
-        History = every committed ok fetch (fetch_log) joined to its
-        extraction fingerprint (the text table's enrichment column), with
-        `changed` = fingerprint differs from the previous ok fetch of the
-        same url (one url-keyed lag window — the only shuffle besides the
-        join). recrawl_due keeps keys whose estimated change interval has
-        elapsed; `overdue` becomes the candidate score, so pages that
-        change often (or are longest-unvisited) are revisited first, and
-        children discovered on a revisited page inherit freshness-weighted
-        scores through the normal child_score path. depth is 0 by
-        definition (a revisit is a root-like fetch, SEMANTICS.md §16)."""
-        cfg, wh = self.cfg, self.wh
-        fl = (
-            wh.read("fetch_log")
-            .filter((F.col("status") == "ok") & (F.col("round") < rnd))
-            .select("url", "host", "round")
-        )
-        fp = wh.read("text").select("url", "round", "fingerprint")
-        hist = fl.join(fp, ["url", "round"]).withColumn(
-            "ts_epoch",
-            F.lit(cfg.epoch(0)) + F.lit(float(cfg.round_seconds)) * F.col("round"),
-        )
-        w = Window.partitionBy("url").orderBy("round")
-        hist = hist.withColumn("_prev", F.lag("fingerprint").over(w)).withColumn(
-            "changed",
-            F.col("_prev").isNotNull()
-            & (F.col("fingerprint") != F.col("_prev")),
-        )
-        due = recrawl_due(hist, cfg.epoch(rnd), cfg.recrawl_min_interval_s,
-                          cfg.recrawl_max_interval_s)
+        fetch history instead of the frontier table. depth is 0 by
+        definition (a revisit is a root-like fetch)."""
+        due = revisit_due(self.wh.read("fetch_log"), self.wh.read("text"),
+                          self.cfg, rnd)
         return with_url_parts(
             due.select("url", F.lit(0).alias("depth"),
                        F.col("overdue").alias("score"))

@@ -249,11 +249,14 @@ def recrawl_due(history: DataFrame, now_epoch: float,
     bit-for-bit, which they do because both run the identical
     left-associated double arithmetic.
 
-    Scale shape: ONE hash aggregation over the history (partial aggs
-    map-side; host rides the url group-by for free — it is functionally
-    dependent on url), no window, no join; output ≤ distinct fetched
+    Scale shape: ONE hash aggregation over the history, grouped by url
+    ALONE (host is functionally dependent on url and rides along as
+    max(host) — grouping by url only lets the aggregate reuse the
+    url-hash partitioning the caller's lag window already produced, so
+    no second exchange), no window, no join; output ≤ distinct fetched
     urls, further cut by the due filter."""
-    g = history.groupBy("url", "host").agg(
+    g = history.groupBy("url").agg(
+        F.max("host").alias("host"),
         F.sum(F.col("changed").cast("long")).alias("n_changes"),
         F.min("ts_epoch").alias("first_epoch"),
         F.max("ts_epoch").alias("last_epoch"),

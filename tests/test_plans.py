@@ -623,3 +623,47 @@ def test_resolve_chains_join_rounds(spark):
     joins = [b for b in re.split(r"\n\(\d+\) ", plan)
              if "Join" in b.split("\n")[0]]
     assert 1 <= len(joins) <= 3, plan
+
+
+def test_revisit_due_slim_window_agg_fusion(spark):
+    """SEMANTICS §16 revisit candidates (crawl.revisit_due): the history
+    join + lag window + recrawl_due agg must (a) never move the text
+    column through an Exchange — only the slim (url, host, round,
+    fingerprint) stream shuffles — (b) partition the lag window by url
+    (never a single-partition window), and (c) let the final hash agg
+    REUSE the window's url partitioning: at most 3 Exchanges total (two
+    join sides + the window), none between the Window and the
+    HashAggregates."""
+    from lectura.crawl import revisit_due
+
+    fl = spark.createDataFrame(
+        pd.DataFrame({
+            "url": [f"http://h.example/p{i % 5}" for i in range(20)],
+            "host": ["h.example"] * 20,
+            "round": [i // 5 + 1 for i in range(20)],
+            "status": ["ok"] * 20,
+        }))
+    tx = spark.createDataFrame(
+        pd.DataFrame({
+            "url": [f"http://h.example/p{i % 5}" for i in range(20)],
+            "round": [i // 5 + 1 for i in range(20)],
+            "fingerprint": [i % 3 for i in range(20)],
+            "text": ["BODY " * 50] * 20,
+        }))
+    plan = plan_of(revisit_due(tx.sparkSession.createDataFrame(
+        fl.toPandas()), tx, CrawlConfig(), rnd=9))
+    for cols in exchange_inputs(plan):
+        assert "text" not in cols, plan  # text never crosses a shuffle
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    exchanges = [b for b in blocks if b.startswith("Exchange")]
+    assert len(exchanges) <= 3, plan
+    win = [b for b in blocks if b.startswith("Window")]
+    assert win and "url" in win[0], plan  # url-keyed, never global
+    # the partial+final agg pair rides the window's url partitioning —
+    # as SortAggregate it additionally reuses the window's SORT (the A7
+    # delegation idiom): no Exchange (and no re-sort) above the Window
+    aggs = [b for b in blocks
+            if b.startswith(("HashAggregate", "SortAggregate"))]
+    assert len(aggs) >= 2, plan
+    above_window = plan.split("== Physical Plan ==")[1].split("Window")[0]
+    assert "Exchange" not in above_window, plan
