@@ -68,6 +68,36 @@ def _gate(docs: DataFrame, min_tokens: int, min_quality: float,
 NEAR_DUP_BACKENDS = ("simhash", "minhash", "containment")
 
 
+def latest_text(text: DataFrame) -> DataFrame:
+    """One row per url — the LATEST extraction. Revisit rounds
+    (SEMANTICS.md §16) append per-round history to the text table, so a
+    revisited url has several rows; the exportable corpus is the newest
+    row per url (url is the doc id everywhere downstream — dedup state,
+    winner join, shard packing all key on it).
+
+    Revisit-free warehouses — the common case — are detected with one
+    slim (url, count) aggregation (no text bytes move) and pass through
+    untouched, keeping the export's one-text-exchange plan identical to
+    before. Revisited warehouses reduce via max_by keyed on round; the
+    groupBy hash-partitions the corpus by url — the SAME clustering the
+    winner join needs — so text still crosses exactly ONE exchange
+    (this reduction's), not two. Per-url group size is bounded by the
+    crawl's round count, so the struct-buffer aggregate has no skew
+    exposure."""
+    if "round" not in text.columns:
+        return text
+    dup = (text.groupBy("url").count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if not dup:
+        return text
+    others = [c for c in text.columns if c != "url"]
+    return (
+        text.groupBy("url")
+        .agg(F.max_by(F.struct(*others), "round").alias("_r"))
+        .select("url", "_r.*")
+    )
+
+
 def _near_dup_pairs_fn(gated: DataFrame, near_dup: str, threshold: float,
                        max_df: int | None):
     """Near-dup backend choice for the export's cluster stage (VERDICT
@@ -281,7 +311,7 @@ def export_corpus(wh: Warehouse, *, min_tokens: int = 20,
             _t0 = now
 
     text_snapshot = wh.snapshot("text")
-    docs = wh.read("text").select(*EXPORT_COLS)
+    docs = latest_text(wh.read("text")).select(*EXPORT_COLS)
     gated = _gate(docs, min_tokens, min_quality, langs)
 
     # Exact dedup as a partial-aggregating groupBy, NOT a window: a
@@ -516,9 +546,11 @@ def export_corpus_incremental(wh: Warehouse, *,
     fast path when the crawl only appended), for unchanged winners
     (copied from the previous output table), and for the rare
     "promoted loser" (an old non-winner whose cluster's winner was
-    deleted/updated away — impossible under append-only commits, where
-    min(url) over a superset never moves to an unseen old url; fetched
-    by a keyed semi-join against the text table when it does happen).
+    deleted/updated away — impossible under appends of NEW urls, where
+    min(url) over a superset never moves to an unseen old url, but
+    reachable via revisit-round appends that re-key an existing url
+    with changed content, SEMANTICS.md §16; fetched by a keyed
+    semi-join against the text table when it happens).
 
     Restrictions: the previous export must have run the core path
     (no decontaminate/sample/chunk/shard — meta records this) with the
@@ -561,10 +593,14 @@ def export_corpus_incremental(wh: Warehouse, *,
                       to_snapshot=to_snapshot).persist()
     n_changed = ch.count()
     changed_urls = ch.select("url").distinct()
-    new_rows = (
+    # latest_text: a url revisited several times since the last export
+    # (SEMANTICS.md §16) contributes one changelog INSERT per revisit
+    # round — the corpus row is the newest one, matching what a full
+    # re-export (which also reduces to latest) would gate.
+    new_rows = latest_text(
         ch.filter(F.col("_change_type").isin("insert", "update_after"))
-        .select(*EXPORT_COLS)
-    )
+        .select(*EXPORT_COLS, "round")
+    ).select(*EXPORT_COLS)
     gated_new = _gate(new_rows, min_tokens, min_quality, langs).persist()
 
     old_state = wh.read(_state_table(out_table))
@@ -593,11 +629,14 @@ def export_corpus_incremental(wh: Warehouse, *,
     n_missing = missing.count()
     sources = [gated_new.select(*EXPORT_COLS), src_old]
     if n_missing:
-        fetched = (
-            wh.read("text", to_snapshot).select(*EXPORT_COLS)
+        # semi-join BEFORE the latest_text reduction so only the
+        # promoted urls' history rows are reduced (a revisited loser's
+        # pre-export history can hold several rounds)
+        fetched = latest_text(
+            wh.read("text", to_snapshot).select(*EXPORT_COLS, "round")
             .join(F.broadcast(missing) if n_missing <= 1_000_000
                   else missing, "url", "left_semi")
-        )
+        ).select(*EXPORT_COLS)
         sources.append(fetched)
     text_src = sources[0]
     for s in sources[1:]:

@@ -140,3 +140,63 @@ def test_revisit_resume_matches_uninterrupted(spark, rcorpus, rcfg,
     crawler2 = Crawler(spark, wh, rcfg)
     crawler2.run(ROUNDS, recrawl_rounds=RECRAWL, resume=True)
     assert_revisit_equivalent(crawler2, roracle)
+
+
+@pytest.fixture(scope="module")
+def rwh(spark, rcorpus, rcfg, tmp_path_factory):
+    """A REVISITED warehouse with a mid-crawl full export: discovery
+    rounds → full export (at the pre-revisit snapshot) → revisit rounds,
+    i.e. text-table appends that re-key existing urls with changed
+    content — the composition export_corpus_incremental must absorb."""
+    from lectura.export import export_corpus
+
+    root = str(tmp_path_factory.mktemp("whx") / "wh")
+    wh = Warehouse(root, spark)
+    crawler = Crawler(spark, wh, rcfg)
+    pages, seeds, robots = corpus_dfs(spark, rcorpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(ROUNDS)
+    export_corpus(wh, min_tokens=1, langs=None)
+    crawler2 = Crawler(spark, wh, rcfg)
+    crawler2.run(ROUNDS, recrawl_rounds=RECRAWL, resume=True)
+    return wh
+
+
+def _rows(wh, table):
+    return sorted(tuple(r) for r in wh.read(table).collect())
+
+
+def test_full_export_after_revisit_uses_latest_text(spark, rwh, tmp_path):
+    """export_corpus over a revisited warehouse must export ONE row per
+    url — the latest extraction — identical to exporting a warehouse
+    whose text table holds only each url's newest row."""
+    from pyspark.sql import Window
+    from lectura.export import export_corpus
+
+    export_corpus(rwh, min_tokens=1, langs=None, out_table="full_docs")
+    got = _rows(rwh, "full_docs")
+    urls = [r[0] for r in got]
+    assert len(urls) == len(set(urls))  # url stays the doc id
+    assert any("REVISED" in r[1] for r in got)  # changed text exported
+
+    t = rwh.read("text")
+    w = Window.partitionBy("url").orderBy(F.desc("round"))
+    latest = (t.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    wh2 = Warehouse(str(tmp_path / "whref"), spark)
+    wh2.overwrite("text", latest)
+    export_corpus(wh2, min_tokens=1, langs=None, out_table="full_docs")
+    assert got == _rows(wh2, "full_docs")
+
+
+def test_incremental_export_absorbs_revisit_appends(spark, rwh):
+    """The changelog-driven refresh over revisit appends (INSERTs that
+    re-key existing urls, several rounds per url) must equal a full
+    re-export at the same snapshot."""
+    from lectura.export import export_corpus, export_corpus_incremental
+
+    stats = export_corpus_incremental(rwh, min_tokens=1, langs=None)
+    assert stats["n_changed"] > 0
+    inc = _rows(rwh, "train_docs")
+    export_corpus(rwh, min_tokens=1, langs=None, out_table="full_again")
+    assert inc == _rows(rwh, "full_again")
