@@ -85,6 +85,8 @@ OPERATOR_QUERIES = [
     "redirect_chains_c8", "stream_cms_st11", "unicode_nfc_q21",
     "script_profile_x3c", "dedup_containment_dd2b",
     "quantile_sketch_grouped_d9b", "anchor_hits_g7",
+    # r5 additions
+    "ann_ivfpq_topk", "recrawl_due_c2b",
 ]
 
 

@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument("--html-gzip", action="store_true")
     ap.add_argument("--round-seconds", type=float, default=60.0)
+    ap.add_argument("--recrawl-rounds", type=int, default=0,
+                    help="revisit rounds after discovery (SEMANTICS §16)")
+    ap.add_argument("--recrawl-min-s", type=float, default=3600.0)
+    ap.add_argument("--recrawl-max-s", type=float, default=30.0 * 86400.0)
     args = ap.parse_args()
 
     from lectura.config import CrawlConfig
@@ -84,6 +88,8 @@ def main() -> None:
         html_gzip=args.html_gzip,
         round_seconds=args.round_seconds,
         seen_capacity=20_000_000,
+        recrawl_min_interval_s=args.recrawl_min_s,
+        recrawl_max_interval_s=args.recrawl_max_s,
     )
     shutil.rmtree(args.warehouse, ignore_errors=True)
     wh = Warehouse(args.warehouse, spark)
@@ -118,7 +124,7 @@ def main() -> None:
     prewarm_s = time.time() - t0
 
     t0 = time.time()
-    stats = crawler.run(args.rounds)
+    stats = crawler.run(args.rounds, recrawl_rounds=args.recrawl_rounds)
     crawl_s = time.time() - t0
 
     scheduled = sum(s["scheduled"] for s in stats)

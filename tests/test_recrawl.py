@@ -200,3 +200,15 @@ def test_incremental_export_absorbs_revisit_appends(spark, rwh):
     inc = _rows(rwh, "train_docs")
     export_corpus(rwh, min_tokens=1, langs=None, out_table="full_again")
     assert inc == _rows(rwh, "full_again")
+
+
+def test_audit_clean_on_revisited_warehouse(spark, rwh):
+    """maintain --audit over a REVISITED warehouse: revisit rounds are
+    ordinary rounds to the gap model (they consumed politeness budget),
+    and a scheduler-driven crawl must stay violation-free — the revisit
+    path enforces the same per-host budget as discovery."""
+    from lectura.maintain import audit_politeness
+
+    rows = audit_politeness(rwh, round_seconds=60.0).collect()
+    assert rows  # revisits imply cross-round gaps, so hosts are present
+    assert not any(r.violating for r in rows)
