@@ -596,11 +596,11 @@ def export_corpus_incremental(wh: Warehouse, *,
     # latest_text: a url revisited several times since the last export
     # (SEMANTICS.md §16) contributes one changelog INSERT per revisit
     # round — the corpus row is the newest one, matching what a full
-    # re-export (which also reduces to latest) would gate.
-    new_rows = latest_text(
-        ch.filter(F.col("_change_type").isin("insert", "update_after"))
-        .select(*EXPORT_COLS, "round")
-    ).select(*EXPORT_COLS)
+    # re-export (which also reduces to latest) would gate. Text tables
+    # without a round column (non-crawl warehouses) skip the reduction.
+    ins = ch.filter(F.col("_change_type").isin("insert", "update_after"))
+    _rcols = (*EXPORT_COLS, "round") if "round" in ins.columns else EXPORT_COLS
+    new_rows = latest_text(ins.select(*_rcols)).select(*EXPORT_COLS)
     gated_new = _gate(new_rows, min_tokens, min_quality, langs).persist()
 
     old_state = wh.read(_state_table(out_table))
@@ -632,8 +632,11 @@ def export_corpus_incremental(wh: Warehouse, *,
         # semi-join BEFORE the latest_text reduction so only the
         # promoted urls' history rows are reduced (a revisited loser's
         # pre-export history can hold several rounds)
+        full = wh.read("text", to_snapshot)
+        _fcols = ((*EXPORT_COLS, "round") if "round" in full.columns
+                  else EXPORT_COLS)
         fetched = latest_text(
-            wh.read("text", to_snapshot).select(*EXPORT_COLS, "round")
+            full.select(*_fcols)
             .join(F.broadcast(missing) if n_missing <= 1_000_000
                   else missing, "url", "left_semi")
         ).select(*EXPORT_COLS)
