@@ -212,3 +212,47 @@ def test_audit_clean_on_revisited_warehouse(spark, rwh):
     rows = audit_politeness(rwh, round_seconds=60.0).collect()
     assert rows  # revisits imply cross-round gaps, so hosts are present
     assert not any(r.violating for r in rows)
+
+
+def _assert_sched_and_text(crawler, oracle):
+    for rnd in range(1, TOTAL + 1):
+        got = [(r.url, r.host, r.depth, r.score)
+               for r in crawler.scheduled_df(rnd).collect()]
+        want = [(r["url"], r["host"], r["depth"], r["score"])
+                for r in oracle.scheduled[rnd - 1]]
+        assert got == want, f"round {rnd} ordering diverged"
+    assert _latest_texts(crawler.wh) == oracle.text
+
+
+def test_revisit_bloom_mode_matches_oracle(spark, rcorpus, rcfg, roracle,
+                                           tmp_path):
+    """Bloom seen-set mode + revisit rounds: revisit candidates bypass
+    the probe entirely (seen by construction) and the shard upsert is
+    skipped, so scheduling and text must still match the oracle
+    (discovery rounds carry the usual bloom may-lose-never-invent
+    caveat; at this corpus size no FP fires)."""
+    cfg = CrawlConfig(max_round_urls=200, use_bloom=True,
+                      recrawl_min_interval_s=30.0,
+                      recrawl_max_interval_s=150.0)
+    wh = Warehouse(str(tmp_path / "whrb"), spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, rcorpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(ROUNDS, recrawl_rounds=RECRAWL)
+    _assert_sched_and_text(crawler, roracle)
+
+
+def test_revisit_distributed_knobs_match_oracle(spark, rcorpus, rcfg,
+                                                roracle, tmp_path):
+    """Cluster-scale physical knobs (prefix-rank scheduling, multi-file
+    sink fan-in) under revisit rounds: plans change, answers must not."""
+    cfg = CrawlConfig(max_round_urls=200, distributed_rank_min=50,
+                      sink_rows_per_file=64,
+                      recrawl_min_interval_s=30.0,
+                      recrawl_max_interval_s=150.0)
+    wh = Warehouse(str(tmp_path / "whrd"), spark)
+    crawler = Crawler(spark, wh, cfg)
+    pages, seeds, robots = corpus_dfs(spark, rcorpus)
+    crawler.init_tables(pages, seeds, robots)
+    crawler.run(ROUNDS, recrawl_rounds=RECRAWL)
+    assert_revisit_equivalent(crawler, roracle)
