@@ -186,6 +186,14 @@ def test_incremental_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="selection stages"):
         export_corpus_incremental(wh, min_tokens=20, max_hamming=3,
                                   n_parts=4)
+    # a text-based near-dup backend (minhash/containment) is not
+    # incrementally composable either — the slim state carries no text,
+    # so a refresh would silently fall back to simhash semantics
+    export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                  near_dup="minhash")
+    with pytest.raises(ValueError, match="near-dup backend"):
+        export_corpus_incremental(wh, min_tokens=20, max_hamming=3,
+                                  n_parts=4)
     # param drift raises instead of silently diverging
     export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)
     wh.append("text", spark.createDataFrame(
