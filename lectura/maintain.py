@@ -48,6 +48,27 @@ def list_tables(wh: Warehouse) -> list[str]:
     )
 
 
+def _export_baselines(wh: Warehouse) -> list[int]:
+    """Text snapshots the incremental export refreshes replay from
+    (every ``*_export_meta`` table with ``incremental_ok``): snapshot
+    expiry on the text table must keep history from the OLDEST of
+    these, or the next ``export --incremental`` finds its changelog
+    baseline expired and is forced into a full re-export."""
+    import pyarrow.parquet as pq
+
+    snaps: list[int] = []
+    for name in list_tables(wh):
+        if not name.endswith("_export_meta"):
+            continue
+        try:
+            m = pq.read_table(wh._files(name)[0]).to_pylist()[0]
+        except (OSError, IndexError, KeyError):
+            continue
+        if m.get("incremental_ok"):
+            snaps.append(int(m["text_snapshot"]))
+    return snaps
+
+
 def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
              prune_frontier: bool = True,
              expire_keep: int | None = None) -> dict:
@@ -58,6 +79,13 @@ def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
     anchored at the (re-pointed) last round marker's snapshot
     (``keep_from``) so a checkpoint resume stays restorable — history
     OLDER than the marker is dropped and its data files reclaimed.
+    The text table is additionally anchored at the oldest
+    incremental-capable export baseline (``_export_baselines``), so a
+    retention sweep between corpus refreshes never breaks the
+    changelog chain ``export --incremental`` replays; once a refresh
+    commits (advancing its recorded baseline to HEAD), the next sweep
+    reclaims the history behind it — retention stays bounded by the
+    newest export, not by full history.
     Default None keeps every snapshot (the pre-expiry behavior: markers
     from before the maintenance still restore)."""
     log = RoundLog(wh.root)
@@ -109,12 +137,17 @@ def maintain(wh: Warehouse, *, target_file_bytes: int = 128 << 20,
 
     if expire_keep is not None:
         marker = log.snapshots(last) if last is not None else {}
+        baselines = _export_baselines(wh)
         for name in list_tables(wh):
             if name in SKIP:
                 continue
+            keep_from = marker.get(name)
+            if name == "text" and baselines:
+                lo = min(baselines)
+                keep_from = lo if keep_from is None else min(keep_from, lo)
             stats = wh.expire_snapshots(
                 name, keep_last=expire_keep,
-                keep_from=marker.get(name))
+                keep_from=keep_from)
             if stats["expired"] or stats["files_deleted"]:
                 actions[name] = (
                     actions.get(name, "")

@@ -202,3 +202,45 @@ def test_incremental_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="full re-export"):
         export_corpus_incremental(wh, min_tokens=5, max_hamming=3,
                                   n_parts=4)
+
+
+def test_maintain_expiry_preserves_incremental_baseline(spark, tmp_path):
+    """S19 × S17 × C9 lifecycle: a retention sweep (`maintain
+    --expire-keep`) between corpus refreshes must keep the text history
+    the incremental export replays from — and because maintenance also
+    COMPACTS the text table, the refresh after it exercises the
+    changelog's keyed-diff path across a rewrite. Once the refresh
+    commits (baseline advanced to HEAD), the NEXT sweep reclaims the
+    old history: retention is bounded by the newest export, never by
+    full history."""
+    from lectura.maintain import maintain
+
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("text", spark.createDataFrame(_rows(_batch1()),
+                                               schema=SCHEMA))
+    base_snap = wh.snapshot("text")
+    export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)
+    wh.append("text", spark.createDataFrame(_rows(_batch2()),
+                                            schema=SCHEMA))
+
+    # keep_last=1 alone would expire the baseline snapshot; the
+    # export-baseline anchor must keep it readable
+    maintain(wh, expire_keep=1)
+    assert wh.read("text", snapshot=base_snap).count() > 0
+
+    stats = export_corpus_incremental(wh, min_tokens=20, max_hamming=3,
+                                      n_parts=4)
+    assert stats["n_changed"] > 0
+    inc = _table_rows(wh, "train_docs")
+    export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4,
+                  out_table="full_ref")
+    assert inc == _table_rows(wh, "full_ref")
+
+    # the refresh advanced its recorded baseline: the next sweep now
+    # reclaims the pre-refresh history (expired time travel raises)
+    maintain(wh, expire_keep=1)
+    with pytest.raises(FileNotFoundError):
+        wh.read("text", snapshot=base_snap)
+    # and the chain is still alive going forward
+    assert export_corpus_incremental(
+        wh, min_tokens=20, max_hamming=3, n_parts=4)["unchanged"]
