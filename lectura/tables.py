@@ -60,8 +60,16 @@ class Warehouse:
             snap = self._head(name)
         if snap is None:
             return []
-        with open(self._snap_path(name, snap)) as f:
-            return json.load(f)["files"]
+        try:
+            with open(self._snap_path(name, snap)) as f:
+                return json.load(f)["files"]
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"table {name!r} snapshot {snap} is expired or was never "
+                f"committed (HEAD is {self._head(name)}) — "
+                "expire_snapshots drops history manifests; a time-travel "
+                "or changelog consumer whose baseline predates the "
+                "retention window needs a full rerun") from None
 
     def _commit(self, name: str, files: list[str],
                 schema_json: str | None = None) -> int:
