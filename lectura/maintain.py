@@ -60,6 +60,10 @@ def _export_baselines(wh: Warehouse) -> list[int]:
     for name in list_tables(wh):
         if not name.endswith("_export_meta"):
             continue
+        # a dangling meta (its output table was dropped) must not pin
+        # text retention forever
+        if not wh.exists(name[: -len("_export_meta")]):
+            continue
         try:
             m = pq.read_table(wh._files(name)[0]).to_pylist()[0]
         except (OSError, IndexError, KeyError):

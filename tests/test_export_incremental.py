@@ -244,3 +244,25 @@ def test_maintain_expiry_preserves_incremental_baseline(spark, tmp_path):
     # and the chain is still alive going forward
     assert export_corpus_incremental(
         wh, min_tokens=20, max_hamming=3, n_parts=4)["unchanged"]
+
+
+def test_dropped_export_does_not_pin_retention(spark, tmp_path):
+    """Dropping an export's output table (but not its meta/state —
+    the easy mistake) must release the retention anchor: the next
+    sweep reclaims the old text history instead of pinning it to the
+    dangling meta's baseline forever."""
+    from lectura.maintain import _export_baselines, maintain
+
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite("text", spark.createDataFrame(_rows(_batch1()),
+                                               schema=SCHEMA))
+    base_snap = wh.snapshot("text")
+    export_corpus(wh, min_tokens=20, max_hamming=3, n_parts=4)
+    wh.append("text", spark.createDataFrame(_rows(_batch2()),
+                                            schema=SCHEMA))
+    assert _export_baselines(wh) == [base_snap]
+    wh.drop("train_docs")
+    assert _export_baselines(wh) == []
+    maintain(wh, expire_keep=1)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        wh.read("text", snapshot=base_snap)
