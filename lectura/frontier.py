@@ -139,6 +139,13 @@ def schedule(cand_budgeted: DataFrame, cfg: CrawlConfig) -> DataFrame:
         )
     from lectura.sampling import prefix_rank
 
+    # Pin the kept set once before the range-partitioned rank:
+    # repartitionByRange's range-sampling pass re-executes its child
+    # plan, so without this the per-host rank window — the most
+    # expensive schedule stage at a 10^8-candidate round (r5 decade
+    # bench, BENCH/BASELINE.md) — runs twice per round. One slim
+    # materialization (≤ budget rows/host) replaces the duplicate sort.
+    kept = kept.localCheckpoint()
     ranked = prefix_rank(kept, order, rank_col="sched_rank",
                          limit=cfg.max_round_urls)
     return ranked.withColumn("sched_rank",
