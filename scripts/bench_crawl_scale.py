@@ -22,8 +22,8 @@ budget join → salted per-host rank → global deterministic cap) over
 
 Phase `round` — a full crawl (schedule → as-of fetch join → pandas-UDF
 extract → sinks) over a 10^7-URL / ~1 KB-page WARC corpus, one decade
-above the 10^6-URL headline recipe, at a 4M-URL round cap (20× the
-headline's). Reports urls/s for the whole pipeline via bench_worker.
+above the 10^6-URL headline recipe, at an n/4 round cap (2.5M at 10^7 —
+12× the headline's). Reports urls/s for the whole pipeline via bench_worker.
 
 Usage:
   python scripts/bench_crawl_scale.py --phase schedule [--n 100000000]
@@ -175,7 +175,7 @@ def run_schedule(n: int, cap: int, root: str) -> dict:
     if not os.path.exists(os.path.join(root, "cand", "_SUCCESS")):
         gen_schedule_input(n, root)
     legs = {}
-    for master in ("local[8]", "local[32]"):
+    for master in ("local[2]", "local[8]", "local[32]"):
         s0, t0 = _steal()
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase",
@@ -192,11 +192,13 @@ def run_schedule(n: int, cap: int, root: str) -> dict:
         else:
             sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
             raise RuntimeError(f"schedule leg failed at {master}")
+    thr2 = legs["local[2]"]["cand_per_sec"]
     thr8 = legs["local[8]"]["cand_per_sec"]
     thr32 = legs["local[32]"]["cand_per_sec"]
     return {"phase": "schedule", "n_candidates": n, "cap": cap,
             "n_hosts": _n_hosts(n), "mega_frac": MEGA_FRAC,
             "planted_kept": 12 * _n_hosts(n), "legs": legs,
+            "eff_2_to_8": round((thr8 / thr2) / 4.0, 3),
             "eff_8_to_32_saturated": round((thr32 / thr8) / 4.0, 3)}
 
 
@@ -243,7 +245,7 @@ def run_round(n: int, root: str) -> dict:
     s0, t0 = _steal()
     cmd = [sys.executable, "-m", "lectura.bench_worker",
            "--master", "local[32]", "--corpus", corpus, "--warehouse", wh,
-           "--rounds", "2", "--max-round-urls", str(n // 2 // 2),
+           "--rounds", "3", "--max-round-urls", str(n // 4),
            "--use-bloom", "--html-gzip", "--round-seconds", "300"]
     env = _env()
     env["LECTURA_SCRATCH"] = root
