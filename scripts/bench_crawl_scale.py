@@ -263,10 +263,80 @@ def run_round(n: int, root: str) -> dict:
     raise RuntimeError("round phase worker failed")
 
 
+# ---------------------------------------------------------------------------
+# seen phase (D1/D3 at the 10^8 decade)
+# ---------------------------------------------------------------------------
+
+def run_seen(n: int, root: str) -> dict:
+    """Bloom URL-seen set one decade above its test scale: build shards
+    over 10^8 urls, probe 10^7 candidates — half planted members (zero
+    false negatives asserted), half novel (FPP bound asserted at 2x the
+    configured 1e-3). Shard sizing follows the 10^10 design note
+    (BENCH/BASELINE.md): pmod(xxhash64) sharding, capacity from load."""
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", JVM)
+    from pyspark.sql import functions as F
+
+    from lectura.seen import bloom_build, bloom_probe
+    from lectura.session import get_spark
+
+    n_shards = 64
+    cap = int(n / n_shards / 0.8)  # ~0.8 load factor
+    fpp = 1e-3
+    spark = get_spark(master="local[32]", app_name="crawl-scale-seen",
+                      shuffle_partitions=64,
+                      extra={"spark.local.dir": os.path.join(root, "sl"),
+                             "spark.ui.showConsoleProgress": "false"})
+
+    def urls_of(ids):
+        return ids.select(F.concat(
+            F.lit("http://h"), F.pmod(F.col("id"), F.lit(1_000_000))
+            .cast("string"), F.lit(".example/p"),
+            F.col("id").cast("string")).alias("url"))
+
+    seen_urls = urls_of(spark.range(n))
+    t0 = time.time()
+    shards = bloom_build(seen_urls, n_shards, cap, fpp)
+    shards.write.mode("overwrite").parquet(os.path.join(root, "shards"))
+    build_s = time.time() - t0
+
+    n_probe = n // 10
+    members = urls_of(spark.range(0, n, 20)).withColumn(
+        "planted", F.lit(True))
+    novel = urls_of(spark.range(n, n + n_probe // 2)).withColumn(
+        "planted", F.lit(False))
+    cand = members.unionByName(novel)
+    cand.write.mode("overwrite").parquet(os.path.join(root, "probe_in"))
+    cand = spark.read.parquet(os.path.join(root, "probe_in"))
+    sh = spark.read.parquet(os.path.join(root, "shards"))
+    t1 = time.time()
+    probed = bloom_probe(cand, sh, n_shards)
+    agg = (probed.groupBy("planted")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("maybe_seen").cast("long")).alias("hits"))
+           .collect())
+    probe_s = time.time() - t1
+    by = {bool(r.planted): (int(r.n), int(r.hits)) for r in agg}
+    n_mem, mem_hits = by[True]
+    n_nov, nov_hits = by[False]
+    assert mem_hits == n_mem, (mem_hits, n_mem)  # zero false negatives
+    fpp_meas = nov_hits / n_nov
+    assert fpp_meas <= 2 * fpp, fpp_meas
+    spark.stop()
+    return {"phase": "seen", "n_seen": n, "n_shards": n_shards,
+            "capacity_per_shard": cap, "fpp_configured": fpp,
+            "build_sec": round(build_s, 1),
+            "build_urls_per_sec": round(n / build_s),
+            "n_probed": n_mem + n_nov,
+            "probe_sec": round(probe_s, 1),
+            "probe_urls_per_sec": round((n_mem + n_nov) / probe_s),
+            "false_negatives": n_mem - mem_hits,
+            "fpp_measured": round(fpp_meas, 6)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["schedule", "schedule-leg", "round"])
+                    choices=["schedule", "schedule-leg", "round", "seen"])
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--cap", type=int, default=None)
     ap.add_argument("--master", default="local[32]")
@@ -279,6 +349,8 @@ def main() -> None:
     if args.phase == "schedule":
         n = args.n or 100_000_000
         out = run_schedule(n, args.cap or n // 10, args.root)
+    elif args.phase == "seen":
+        out = run_seen(args.n or 100_000_000, args.root)
     else:
         out = run_round(args.n or 10_000_000, args.root)
     print(json.dumps(out), flush=True)
