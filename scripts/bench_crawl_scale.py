@@ -267,7 +267,7 @@ def run_round(n: int, root: str) -> dict:
 # seen phase (D1/D3 at the 10^8 decade)
 # ---------------------------------------------------------------------------
 
-def run_seen(n: int, root: str) -> dict:
+def run_seen(n: int, root: str, backend: str = "bloom") -> dict:
     """Bloom URL-seen set one decade above its test scale: build shards
     over 10^8 urls, probe 10^7 candidates — half planted members (zero
     false negatives asserted), half novel (FPP bound asserted at 2x the
@@ -276,8 +276,13 @@ def run_seen(n: int, root: str) -> dict:
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS", JVM)
     from pyspark.sql import functions as F
 
-    from lectura.seen import bloom_build, bloom_probe
+    from lectura.seen import (bloom_build, bloom_probe, cuckoo_build,
+                              cuckoo_probe)
     from lectura.session import get_spark
+
+    build = bloom_build if backend == "bloom" else (
+        lambda u, s, c, _fpp: cuckoo_build(u, s, c))
+    probe = bloom_probe if backend == "bloom" else cuckoo_probe
 
     n_shards = 64
     cap = int(n / n_shards / 0.8)  # ~0.8 load factor
@@ -295,7 +300,7 @@ def run_seen(n: int, root: str) -> dict:
 
     seen_urls = urls_of(spark.range(n))
     t0 = time.time()
-    shards = bloom_build(seen_urls, n_shards, cap, fpp)
+    shards = build(seen_urls, n_shards, cap, fpp)
     shards.write.mode("overwrite").parquet(os.path.join(root, "shards"))
     build_s = time.time() - t0
 
@@ -309,7 +314,7 @@ def run_seen(n: int, root: str) -> dict:
     cand = spark.read.parquet(os.path.join(root, "probe_in"))
     sh = spark.read.parquet(os.path.join(root, "shards"))
     t1 = time.time()
-    probed = bloom_probe(cand, sh, n_shards)
+    probed = probe(cand, sh, n_shards)
     agg = (probed.groupBy("planted")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("maybe_seen").cast("long")).alias("hits"))
@@ -320,9 +325,11 @@ def run_seen(n: int, root: str) -> dict:
     n_nov, nov_hits = by[False]
     assert mem_hits == n_mem, (mem_hits, n_mem)  # zero false negatives
     fpp_meas = nov_hits / n_nov
+    # cuckoo's 16-bit fingerprints sit far below the bloom bound
     assert fpp_meas <= 2 * fpp, fpp_meas
     spark.stop()
-    return {"phase": "seen", "n_seen": n, "n_shards": n_shards,
+    return {"phase": "seen", "backend": backend, "n_seen": n,
+            "n_shards": n_shards,
             "capacity_per_shard": cap, "fpp_configured": fpp,
             "build_sec": round(build_s, 1),
             "build_urls_per_sec": round(n / build_s),
@@ -341,6 +348,8 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=None)
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--root", default="/dev/shm/lectura_crawl_scale")
+    ap.add_argument("--backend", default="bloom",
+                    choices=["bloom", "cuckoo"])
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
     if args.phase == "schedule-leg":
@@ -350,7 +359,7 @@ def main() -> None:
         n = args.n or 100_000_000
         out = run_schedule(n, args.cap or n // 10, args.root)
     elif args.phase == "seen":
-        out = run_seen(args.n or 100_000_000, args.root)
+        out = run_seen(args.n or 100_000_000, args.root, args.backend)
     else:
         out = run_round(args.n or 10_000_000, args.root)
     print(json.dumps(out), flush=True)

@@ -51,6 +51,30 @@ def test_fpp_bound():
     assert fpp <= 3e-4, fpp
 
 
+def test_fpp_bound_shard_correlated_keys():
+    """The crawl routes a key to its shard by pmod(xxhash64(url),
+    n_shards) and hands the SAME hash to the filter: with a power-of-two
+    shard count every key in a shard agrees on its low bits. Before the
+    _mix64 remix in derive(), i1 collapsed to n_buckets/n_shards
+    distinct buckets per shard — eviction chains failed into a
+    ~600-entry stash and novel-probe FPP ran ~20x the uncorrelated rate
+    (0.00198 measured at the 10^8 decade bench). Pin the fixed
+    behavior on exactly that key shape (low 6 bits constant = a
+    64-shard layout)."""
+    rng = np.random.default_rng(7)
+    n = 31_250
+    base = rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+    keys = (base & ~np.int64(63)) | np.int64(5)
+    table, stash = cuckoocore.build(keys, cuckoocore.size_for(39_062))
+    assert len(stash) == 0, len(stash)
+    s = np.asarray(stash, dtype=np.uint64)
+    assert cuckoocore.probe(keys, table, s).all()  # no false negatives
+    novel = (rng.integers(-(2**63), 2**63 - 1, size=300_000,
+                          dtype=np.int64) & ~np.int64(63)) | np.int64(5)
+    fpp = cuckoocore.probe(novel, table, s).mean()
+    assert fpp <= 3e-4, fpp
+
+
 def test_delete_removes_only_target():
     rng = np.random.default_rng(11)
     h = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
