@@ -298,11 +298,22 @@ def main() -> None:
                        rounds=SCALE_ROUNDS)
         spread = (max(b1["crawl_sec"], b2["crawl_sec"])
                   / min(b1["crawl_sec"], b2["crawl_sec"]) - 1.0)
+        max_steal = max(x.get("steal_pct") or 0.0 for x in (b1, sm, b2))
         return {"big1": b1, "small": sm, "big2": b2,
-                "big_spread": round(spread, 3)}
+                "big_spread": round(spread, 3),
+                "max_steal_pct": round(max_steal, 2)}
 
+    # Re-measure triggers (pre-registered, symmetric — both fire on
+    # interference EVIDENCE, never on the efficiency value itself):
+    # internal big-run spread > 25 % (the two big runs estimate the
+    # same quantity) or hypervisor steal > 1 % on any leg (/proc/stat,
+    # sampled around every leg; the r4 0.699-gate window showed 4.9 %
+    # big-leg steal, clean windows show <= 0.1 %). One re-measure; the
+    # triplet with the smaller internal spread is used and BOTH are
+    # disclosed machine-readably (gate_attempts).
     gate_attempts = [gate_triplet("")]
-    if gate_attempts[0]["big_spread"] > 0.25:
+    if (gate_attempts[0]["big_spread"] > 0.25
+            or gate_attempts[0]["max_steal_pct"] > 1.0):
         gate_attempts.append(gate_triplet("_r"))
     chosen = min(gate_attempts, key=lambda g: g["big_spread"])
     sc_big1, sc_small, sc_big2 = (chosen["big1"], chosen["small"],
