@@ -33,8 +33,17 @@ planted bucket can NEVER collide with a hot template bucket — the cap
 drops boilerplate buckets only and the survivor count stays exact
 arithmetic: n − 3·(n div 100).
 
+The big point additionally measures the C9 incremental-refresh
+composition: append a 1% crawl increment, refresh with
+`export_corpus_incremental` (S17 append-only changelog fast path),
+and prove equivalence against a fresh full export at the same HEAD
+by order-independent table signature (count + sum of per-row
+xxhash64) — the corpus-refresh operation a 100-TB deployment
+actually runs, evidenced at the largest scale this sandbox reaches.
+
 Usage: python scripts/bench_export_scale.py [--n-small 1000000]
            [--n-big 10000000] [--chars 150] [--band-max-df 256]
+           [--inc-delta N]
 """
 
 import argparse
@@ -49,8 +58,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LANE_LSB = 0x0001000100010001  # bit 0 of each 16-bit simhash lane
 
 
-def synth_text_table(spark, wh, n: int, chars: int) -> None:
-    """Write a `text` table of n docs with planted dup families.
+def _plant_df(spark, start: int, end: int, chars: int,
+              n_templates: int):
+    """Planted-dup rows for ids [start, end) — shared by the base
+    table and the incremental-delta append (same per-id formulas, so
+    every 100-aligned block carries exactly one exact-dup pair and one
+    3-doc near-dup cluster regardless of where the range starts).
 
     All columns are JVM expressions of `id` (no Python): the export
     treats fingerprint/simhash as opaque longs, so planting dup
@@ -59,10 +72,9 @@ def synth_text_table(spark, wh, n: int, chars: int) -> None:
     the winner join + write move realistic bytes."""
     from pyspark.sql import functions as F
 
-    ids = spark.range(0, n, numPartitions=64)
+    ids = spark.range(start, end, numPartitions=64)
     r = F.col("id") % 100
     block = F.col("id") - r
-    n_templates = max(1, n // 1000)
     fingerprint = F.when(r == 1, F.xxhash64(block)) \
                    .otherwise(F.xxhash64(F.col("id")))
     # planted near-dup base: bit 0 of every lane SET
@@ -95,7 +107,15 @@ def synth_text_table(spark, wh, n: int, chars: int) -> None:
         fingerprint.alias("fingerprint"),
         simhash.alias("simhash"),
     )
-    wh.overwrite("text", df)
+    return df
+
+
+def synth_text_table(spark, wh, n: int, chars: int) -> None:
+    """Write the base `text` table of n docs with planted dup families
+    (hot templates sized n//1000 — the boilerplate regime the
+    band_max_df cap exists for)."""
+    wh.overwrite("text",
+                 _plant_df(spark, 0, n, chars, max(1, n // 1000)))
 
 
 def run_point(spark, root: str, n: int, chars: int,
@@ -122,15 +142,84 @@ def run_point(spark, root: str, n: int, chars: int,
             "n_hot_buckets_dropped": stats["n_hot_buckets_dropped"]}
 
 
+def _tbl_sig(df) -> tuple:
+    """Order-independent table signature: (row count, sum of per-row
+    xxhash64 over every column, name-sorted). One scan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in sorted(df.columns)]
+    # decimal(38,0) accumulator: 10^7 64-bit terms overflow a long sum
+    # under ANSI mode
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def run_incremental(spark, wh, n: int, chars: int,
+                    band_max_df: int | None, delta: int) -> dict:
+    """The C9 composition at the decade point: append a `delta`-doc
+    crawl increment (same plant recipe — template pool stays the base
+    table's, so the hot buckets stay hot), refresh via
+    export_corpus_incremental (the S17 append-only changelog fast
+    path), and prove at-scale equivalence by running a fresh FULL
+    export at the same HEAD and comparing order-independent table
+    signatures bit-for-bit."""
+    from lectura.export import export_corpus, export_corpus_incremental
+
+    assert delta % 100 == 0, "delta must be 100-block aligned"
+    t0 = time.time()
+    wh.append("text",
+              _plant_df(spark, n, n + delta, chars, max(1, n // 1000)))
+    append_sec = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    inc = export_corpus_incremental(wh, min_tokens=20, max_hamming=3,
+                                    band_max_df=band_max_df, n_parts=64)
+    inc_wall = round(time.time() - t0, 2)
+    total = n + delta
+    expected = total - 3 * (total // 100)
+    assert inc["n_docs"] == expected, (inc, expected)
+    assert inc["n_changed"] == delta, inc
+    # append-only NEW urls: min(url) winners never move to an old loser
+    assert inc["n_promoted_fetched"] == 0, inc
+
+    t0 = time.time()
+    full = export_corpus(wh, min_tokens=20, max_hamming=3,
+                         band_max_df=band_max_df, n_parts=64,
+                         out_table="train_docs_fullchk")
+    full_wall = round(time.time() - t0, 2)
+    assert full["n_docs"] == expected, (full, expected)
+    sig_inc = _tbl_sig(wh.read("train_docs"))
+    sig_full = _tbl_sig(wh.read("train_docs_fullchk"))
+    assert sig_inc == sig_full, (sig_inc, sig_full)
+    return {"n_base": n, "n_delta": delta, "append_sec": append_sec,
+            "incremental_wall_sec": inc_wall,
+            "full_reexport_wall_sec": full_wall,
+            "speedup_vs_full": round(full_wall / inc_wall, 2),
+            "n_docs_out": inc["n_docs"],
+            "equivalent_to_full": True}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-small", type=int, default=1_000_000)
     ap.add_argument("--n-big", type=int, default=10_000_000)
     ap.add_argument("--chars", type=int, default=150)
     ap.add_argument("--band-max-df", type=int, default=256)
+    ap.add_argument("--inc-delta", type=int, default=None,
+                    help="incremental-refresh append size at the big "
+                         "point (default n_big // 100); 0 disables")
     ap.add_argument("--master", default="local[32]")
     args = ap.parse_args()
 
+    # self-sufficient heap sizing (the 10^7 point OOMs the 1 g default)
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--driver-memory 16g --driver-java-options "
+        '"-XX:+ExplicitGCInvokesConcurrent -XX:+ParallelRefProcEnabled" '
+        "pyspark-shell")
     from lectura.session import get_spark
 
     spark = get_spark(master=args.master, shuffle_partitions=64,
@@ -138,11 +227,20 @@ def main() -> int:
     scratch = os.environ.get("LECTURA_SCRATCH", "/dev/shm")
     out: dict = {"metric": "export_dedup_ladder_scale",
                  "band_max_df": args.band_max_df, "points": []}
+    from lectura.tables import Warehouse
+
     for n in (args.n_small, args.n_big):
         root = os.path.join(scratch, f"lectura_export_scale_{n}")
         try:
             out["points"].append(
                 run_point(spark, root, n, args.chars, args.band_max_df))
+            if n == args.n_big:
+                delta = (args.inc_delta if args.inc_delta is not None
+                         else n // 100)
+                if delta:
+                    out["incremental"] = run_incremental(
+                        spark, Warehouse(root, spark), n, args.chars,
+                        args.band_max_df, delta)
         finally:
             shutil.rmtree(root, ignore_errors=True)
     small, big = out["points"]
