@@ -495,7 +495,30 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     passes; encoding = one Arrow-batched numpy pass (the _pq_code_udf
     discipline); the probe = a cell-id filter (partition-prunable) +
     pure-JVM ADC expression + TakeOrderedAndProject; the final rerank a
-    `rerank`-row brute force."""
+    `rerank`-row brute force.
+
+    The build/query seam is exposed as `build_ivfpq_index` +
+    `ivfpq_query` (a deployment builds once and serves many queries);
+    this function composes the two unchanged."""
+    centroids, books, enc = build_ivfpq_index(
+        df, n_centroids=n_centroids, m=m, pq_centroids=pq_centroids,
+        n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+        train_mod=train_mod)
+    return ivfpq_query(centroids, books, enc, query_vec, k,
+                       n_probe=n_probe, rerank=rerank, id_col=id_col,
+                       vec_col=vec_col)
+
+
+def build_ivfpq_index(df: DataFrame, *, n_centroids: int = 16,
+                      m: int = 4, pq_centroids: int = 16,
+                      n_iters: int = 3, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      train_mod: int = 1):
+    """One-time IVFADC index build: train the coarse quantizer, assign
+    cells, train the residual PQ codebooks, encode. Returns
+    (centroids, books, enc) where `enc` is the materialized encoded
+    index frame — the persisted-index seam (a deployment writes `enc`
+    partitioned by `cid` and reloads it per query batch)."""
     centroids = kmeans_centroids(df, n_centroids, n_iters, id_col,
                                  vec_col, train_mod)
     indexed = ivf_index(df, centroids, vec_col)
@@ -518,7 +541,20 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                          "_resid", train_mod)
     enc = (pq_encode(enc_src, books, "_resid").drop("_resid")
            .localCheckpoint())
+    return centroids, books, enc
 
+
+def ivfpq_query(centroids: list[list[float]],
+                books: list[list[list[float]]], enc: DataFrame,
+                query_vec: list[float], k: int = 10, *,
+                n_probe: int = 4, rerank: int = 50,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Serve one query against a prebuilt IVFADC index (the steady-
+    state cost): pick the n_probe nearest cells driver-side, ADC-scan
+    only their codes with per-cell lookup tables on the query residual,
+    exact-rerank the top `rerank`."""
+    m = len(books)
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = _unit([float(x) for x in query_vec])
     probe = sorted(
