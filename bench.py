@@ -308,14 +308,24 @@ def main() -> None:
     # internal big-run spread > 25 % (the two big runs estimate the
     # same quantity) or hypervisor steal > 1 % on any leg (/proc/stat,
     # sampled around every leg; the r4 0.699-gate window showed 4.9 %
-    # big-leg steal, clean windows show <= 0.1 %). One re-measure; the
-    # triplet with the smaller internal spread is used and BOTH are
-    # disclosed machine-readably (gate_attempts).
+    # big-leg steal, clean windows show <= 0.1 %). Up to TWO
+    # re-measures while a trigger keeps firing (an interference storm
+    # can outlast a single re-try); the chosen triplet is the FIRST
+    # one in temporal order that passes both criteria — no
+    # pick-the-best among valid results — falling back to the
+    # least-stolen attempt if none passes. ALL attempts are disclosed
+    # machine-readably (gate_attempts).
+    def _clean(g: dict) -> bool:
+        return g["big_spread"] <= 0.25 and g["max_steal_pct"] <= 1.0
+
     gate_attempts = [gate_triplet("")]
-    if (gate_attempts[0]["big_spread"] > 0.25
-            or gate_attempts[0]["max_steal_pct"] > 1.0):
-        gate_attempts.append(gate_triplet("_r"))
-    chosen = min(gate_attempts, key=lambda g: g["big_spread"])
+    for tag in ("_r", "_r2"):
+        if _clean(gate_attempts[-1]):
+            break
+        gate_attempts.append(gate_triplet(tag))
+    chosen = next((g for g in gate_attempts if _clean(g)),
+                  min(gate_attempts,
+                      key=lambda g: (g["max_steal_pct"], g["big_spread"])))
     sc_big1, sc_small, sc_big2 = (chosen["big1"], chosen["small"],
                                   chosen["big2"])
     sat_small = run_crawl(f"local[{max(2, CPUS // 4)}]", corpus_dir,
